@@ -1,0 +1,167 @@
+"""Hierarchical run configuration.
+
+Equivalent capability to the reference's ``OrderedNamespace``
+(/root/reference/avssl/base/ordered_namespace.py:7-153): an attribute/dict
+hybrid tree assembled from YAML files plus CLI overrides, picklable so it can
+ride inside checkpoints. The design here is a thin dict subclass rather than a
+Namespace wrapper: it stays a plain mapping (serializes to JSON/YAML/msgpack
+trivially, works as an orbax metadata payload) while still supporting
+``cfg.model_settings.cascaded_branch.keyword.number`` access.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+from typing import Any, Iterable, Mapping
+
+import yaml
+
+_MISSING = object()
+
+
+class ConfigNode(dict):
+    """A dict with attribute access, recursive wrapping and deep merge."""
+
+    def __init__(self, *sources: Any, **kwargs: Any):
+        super().__init__()
+        for src in sources:
+            if src is None:
+                continue
+            self.merge_(src)
+        if kwargs:
+            self.merge_(kwargs)
+
+    # -- attribute protocol -------------------------------------------------
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = _wrap(value)
+
+    def __delattr__(self, name: str) -> None:
+        try:
+            del self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setitem__(self, key: str, value: Any) -> None:
+        super().__setitem__(key, _wrap(value))
+
+    # -- merging -------------------------------------------------------------
+    def merge_(self, other: Any) -> "ConfigNode":
+        """Deep-merge ``other`` into self (in place). Later wins.
+
+        Mappings merge recursively; any other value (including lists)
+        replaces wholesale.
+        """
+        if hasattr(other, "__dict__") and not isinstance(other, Mapping):
+            other = vars(other)  # argparse.Namespace and friends
+        if not isinstance(other, Mapping):
+            raise TypeError(f"cannot merge {type(other)!r} into ConfigNode")
+        for k, v in other.items():
+            if (
+                k in self
+                and isinstance(self[k], ConfigNode)
+                and isinstance(v, Mapping)
+            ):
+                self[k].merge_(v)
+            else:
+                self[k] = v
+        return self
+
+    def merged(self, other: Any) -> "ConfigNode":
+        out = copy.deepcopy(self)
+        out.merge_(other)
+        return out
+
+    # -- lookups ------------------------------------------------------------
+    def get_path(self, dotted: str, default: Any = None) -> Any:
+        """cfg.get_path("model_settings.cascaded_branch.type")."""
+        node: Any = self
+        for part in dotted.split("."):
+            if isinstance(node, Mapping) and part in node:
+                node = node[part]
+            else:
+                return default
+        return node
+
+    def set_path(self, dotted: str, value: Any) -> None:
+        parts = dotted.split(".")
+        node = self
+        for part in parts[:-1]:
+            if part not in node or not isinstance(node[part], ConfigNode):
+                node[part] = ConfigNode()
+            node = node[part]
+        node[parts[-1]] = value
+
+    # -- serialization ------------------------------------------------------
+    def to_dict(self) -> dict:
+        return {
+            k: v.to_dict() if isinstance(v, ConfigNode) else copy.deepcopy(v)
+            for k, v in self.items()
+        }
+
+    def to_yaml(self) -> str:
+        return yaml.safe_dump(self.to_dict(), sort_keys=False)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict())
+
+    def __deepcopy__(self, memo: dict) -> "ConfigNode":
+        return ConfigNode(
+            {k: copy.deepcopy(v, memo) for k, v in self.items()}
+        )
+
+    # dict already pickles; __reduce__ keeps the subclass through pickle.
+    def __reduce__(self):
+        return (_rebuild, (self.to_dict(),))
+
+
+def _rebuild(d: dict) -> ConfigNode:
+    return ConfigNode(d)
+
+
+def _wrap(value: Any) -> Any:
+    if isinstance(value, ConfigNode):
+        return value
+    if isinstance(value, Mapping):
+        node = ConfigNode()
+        for k, v in value.items():
+            node[k] = v
+        return node
+    if isinstance(value, (list, tuple)):
+        return [
+            _wrap(v) if isinstance(v, Mapping) else v for v in value
+        ]
+    return value
+
+
+def _parse_override_value(text: str) -> Any:
+    """Parse a CLI override value with YAML scalar semantics."""
+    try:
+        return yaml.safe_load(text)
+    except yaml.YAMLError:
+        return text
+
+
+def load_config(
+    path: str | None = None,
+    overrides: Iterable[str] = (),
+    base: Mapping | None = None,
+) -> ConfigNode:
+    """Build a config from a YAML file plus ``a.b.c=value`` CLI overrides."""
+    cfg = ConfigNode(base) if base is not None else ConfigNode()
+    if path is not None:
+        with open(path) as f:
+            loaded = yaml.safe_load(f) or {}
+        cfg.merge_(loaded)
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(f"override {item!r} must look like key.path=value")
+        key, _, value = item.partition("=")
+        cfg.set_path(key.strip(), _parse_override_value(value.strip()))
+    return cfg

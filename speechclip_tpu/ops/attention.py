@@ -1,0 +1,194 @@
+"""Multi-head attention with torch-``nn.MultiheadAttention`` semantics.
+
+Used by the branch transformers (reference
+avssl/module/kw_modules/TransformerModels.py:99-135), the HuBERT encoder
+layers and the CLIP towers. The math is standard SDPA; the padding mask is a
+bool (B, S) tensor with True at padding (torch convention). Softmax runs in
+f32 regardless of the compute dtype.
+
+A Pallas flash-attention kernel (speechclip_tpu.kernels.flash_attention) can
+be selected as the backend for the no-weights path on TPU; the XLA path is
+the reference implementation and the fallback everywhere else.
+"""
+
+from __future__ import annotations
+
+import math
+from contextlib import contextmanager
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .basic import Params, dropout, linear
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+_ATTENTION_BACKEND = "xla"  # "xla" | "pallas"
+
+
+def set_attention_backend(name: str) -> None:
+    global _ATTENTION_BACKEND
+    assert name in ("xla", "pallas"), name
+    _ATTENTION_BACKEND = name
+
+
+def get_attention_backend() -> str:
+    return _ATTENTION_BACKEND
+
+
+@contextmanager
+def attention_backend(name: str):
+    old = get_attention_backend()
+    set_attention_backend(name)
+    try:
+        yield
+    finally:
+        set_attention_backend(old)
+
+
+def sdpa_xla(
+    q: jnp.ndarray,  # (B, H, L, Dh)
+    k: jnp.ndarray,  # (B, H, S, Dh)
+    v: jnp.ndarray,  # (B, H, S, Dh)
+    bias: Optional[jnp.ndarray] = None,  # additive, broadcastable to (B,H,L,S)
+    return_weights: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Reference XLA attention; softmax in f32."""
+    dh = q.shape[-1]
+    scale = 1.0 / math.sqrt(dh)
+    logits = jnp.einsum(
+        "bhld,bhsd->bhls", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhls,bhsd->bhld",
+        weights.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+    return out, (weights if return_weights else None)
+
+
+def _sdpa(q, k, v, bias, return_weights):
+    if _ATTENTION_BACKEND == "pallas" and not return_weights:
+        from ..kernels.flash_attention import flash_attention_supported, flash_mha
+
+        if flash_attention_supported(q, k, v, bias):
+            return flash_mha(q, k, v, bias), None
+    return sdpa_xla(q, k, v, bias, return_weights)
+
+
+def padding_bias(
+    key_padding_mask: Optional[jnp.ndarray],  # (B, S) True = pad
+    attn_mask: Optional[jnp.ndarray] = None,  # (L, S) additive f32 or bool
+) -> Optional[jnp.ndarray]:
+    """Combine key-padding and attention masks into an additive bias."""
+    bias = None
+    if key_padding_mask is not None:
+        bias = jnp.where(
+            key_padding_mask[:, None, None, :], _NEG_INF, 0.0
+        ).astype(jnp.float32)
+    if attn_mask is not None:
+        if attn_mask.dtype == jnp.bool_:
+            add = jnp.where(attn_mask, _NEG_INF, 0.0).astype(jnp.float32)
+        else:
+            add = attn_mask.astype(jnp.float32)
+        add = add[None, None, :, :]
+        bias = add if bias is None else bias + add
+    return bias
+
+
+def causal_bias(length: int) -> jnp.ndarray:
+    """Additive (L, L) causal mask — the CLIP text tower's attn_mask."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (length, length), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (length, length), 1)
+    return jnp.where(col > row, _NEG_INF, 0.0).astype(jnp.float32)
+
+
+def mha_init(rng: jax.Array, d_model: int, bias: bool = True) -> Params:
+    """torch nn.MultiheadAttention init: xavier_uniform in_proj, zeros bias,
+    out_proj like nn.Linear with zero bias."""
+    k1, k2 = jax.random.split(rng)
+    limit = math.sqrt(6.0 / (d_model + 3 * d_model))
+    in_w = jax.random.uniform(
+        k1, (d_model, 3 * d_model), jnp.float32, -limit, limit
+    )
+    bound = 1.0 / math.sqrt(d_model)
+    out_w = jax.random.uniform(
+        k2, (d_model, d_model), jnp.float32, -bound, bound
+    )
+    return {
+        "in_proj": {"w": in_w, "b": jnp.zeros((3 * d_model,), jnp.float32) if bias else None},
+        "out_proj": {"w": out_w, "b": jnp.zeros((d_model,), jnp.float32) if bias else None},
+    }
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def multi_head_attention(
+    params: Params,
+    query: jnp.ndarray,  # (B, L, D)
+    key: jnp.ndarray,  # (B, S, D)
+    value: jnp.ndarray,  # (B, S, D)
+    num_heads: int,
+    key_padding_mask: Optional[jnp.ndarray] = None,  # (B, S) True = pad
+    attn_mask: Optional[jnp.ndarray] = None,  # (L, S)
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+    need_weights: bool = False,
+    average_attn_weights: bool = True,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """torch-parity MHA forward.
+
+    Returns (output (B, L, D), weights) where weights is (B, L, S) if
+    averaged over heads else (B, H, L, S) — matching
+    nn.MultiheadAttention(batch_first=True).
+    """
+    d_model = query.shape[-1]
+    in_w, in_b = params["in_proj"]["w"], params["in_proj"]["b"]
+    wq, wk, wv = jnp.split(in_w, 3, axis=1)
+    if in_b is not None:
+        bq, bk, bv = jnp.split(in_b, 3)
+    else:
+        bq = bk = bv = None
+
+    def proj(x, w, b):
+        y = x @ w.astype(x.dtype)
+        return y if b is None else y + b.astype(x.dtype)
+
+    q = _split_heads(proj(query, wq, bq), num_heads)
+    k = _split_heads(proj(key, wk, bk), num_heads)
+    v = _split_heads(proj(value, wv, bv), num_heads)
+
+    bias = padding_bias(key_padding_mask, attn_mask)
+    out, weights = _sdpa(q, k, v, bias, need_weights or (train and dropout_rate > 0))
+
+    if train and dropout_rate > 0.0:
+        # torch applies dropout to attention weights; redo the weighted sum.
+        dropped = dropout(rng, weights.astype(v.dtype), dropout_rate, train)
+        out = jnp.einsum(
+            "bhls,bhsd->bhld", dropped, v, preferred_element_type=jnp.float32
+        ).astype(v.dtype)
+
+    out = _merge_heads(out)
+    out = linear(params["out_proj"], out)
+
+    if not need_weights:
+        return out, None
+    w = weights
+    if average_attn_weights:
+        w = jnp.mean(w, axis=1)
+    return out, w

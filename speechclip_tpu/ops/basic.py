@@ -1,0 +1,114 @@
+"""Elementwise / affine building blocks shared by every model.
+
+All functions are pure; parameters are plain dicts of jnp arrays with
+weights stored in JAX convention ``y = x @ w + b`` (``w: (in, out)``).
+Converters from torch checkpoints transpose into this layout.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = dict
+
+
+# ---------------------------------------------------------------------------
+# activations
+# ---------------------------------------------------------------------------
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — matches ``torch.nn.functional.gelu`` default,
+    used by HuBERT and the branch transformers
+    (reference: avssl/module/kw_modules/TransformerModels.py:57 activation='gelu')."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """QuickGELU ``x * sigmoid(1.702 x)`` — the activation of OpenAI CLIP
+    towers (reference dependency clip.model.QuickGELU)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACTIVATIONS = {
+    "gelu": gelu,
+    "relu": jax.nn.relu,
+    "quick_gelu": quick_gelu,
+}
+
+
+# ---------------------------------------------------------------------------
+# affine layers
+# ---------------------------------------------------------------------------
+def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ params["w"].astype(x.dtype)
+    if params.get("b") is not None:
+        y = y + params["b"].astype(x.dtype)
+    return y
+
+
+def linear_init(
+    rng: jax.Array, in_dim: int, out_dim: int, bias: bool = True
+) -> Params:
+    """torch.nn.Linear default init: kaiming_uniform(a=sqrt(5)) on the weight
+    == U(-1/sqrt(in), 1/sqrt(in)); bias likewise."""
+    kw, kb = jax.random.split(rng)
+    bound = 1.0 / math.sqrt(in_dim)
+    w = jax.random.uniform(kw, (in_dim, out_dim), jnp.float32, -bound, bound)
+    p: Params = {"w": w}
+    if bias:
+        p["b"] = jax.random.uniform(kb, (out_dim,), jnp.float32, -bound, bound)
+    else:
+        p["b"] = None
+    return p
+
+
+def layer_norm(
+    params: Optional[Params],
+    x: jnp.ndarray,
+    eps: float = 1e-5,
+    axis: int = -1,
+) -> jnp.ndarray:
+    """LayerNorm over the trailing axis, computed in f32 for stability."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=axis, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=axis, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    if params is not None:
+        y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(
+            jnp.float32
+        )
+    return y.astype(orig_dtype)
+
+
+def layer_norm_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+# ---------------------------------------------------------------------------
+# dropout
+# ---------------------------------------------------------------------------
+def dropout(
+    rng: Optional[jax.Array],
+    x: jnp.ndarray,
+    rate: float,
+    train: bool,
+) -> jnp.ndarray:
+    """Inverted dropout. No-op when not training or rate == 0."""
+    if not train or rate <= 0.0:
+        return x
+    if rng is None:
+        raise ValueError("dropout requires an rng key when train=True and rate>0")
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:
+    """x / ||x||, the feature normalization applied before the contrastive
+    loss (reference: avssl/model/kwClip.py:1436-1454)."""
+    norm = jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True)
+    return (x.astype(jnp.float32) / (norm + eps)).astype(x.dtype)

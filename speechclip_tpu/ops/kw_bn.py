@@ -1,0 +1,166 @@
+"""Keyword BatchNorm.
+
+Equivalent of the reference Kw_BatchNorm
+(avssl/module/speechclip_c_modules/kw_bn.py:8-164): BatchNorm over keyword
+embeddings before vector quantization, with gamma/beta initialized from the
+mean/std of the CLIP token-embedding table.
+
+Functional form: params (scale/bias) + state (running mean/var) threaded
+explicitly; ``train=True`` uses batch statistics and returns updated running
+stats (torch BatchNorm semantics: momentum 0.1, normalization by biased batch
+var, running update with unbiased var).
+
+Distribution note (SURVEY.md §7): torch-DP computes BN stats per replica on
+its sub-batch. Here statistics are computed over the GLOBAL batch — under
+pjit the mean/var reductions become cross-chip collectives automatically.
+This is cleaner and makes training dynamics batch-size- rather than
+chip-count-dependent; documented as an intentional deviation.
+
+Modes:
+- ``eachKw`` + ``parallel``: one BN over (kw_dim * kw_num) features of the
+  (B, D, K)->(B, D*K) reshaped tensor. The reference initializes gamma by
+  tiling the std vector, which does NOT align with the d-major data layout
+  (index d*K+k gets std[(d*K+k) % D]); replicated faithfully since the
+  shipped base/large configs use this mode and the learnable BN absorbs it.
+- ``eachKw``: K independent BNs over D.
+- ``same``: one shared BN over D with stats over (B*K); supports a
+  variable-length masked path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from .basic import Params
+from .masking import valid_mask
+
+
+def kw_bn_init(
+    kw_num: int,
+    kw_dim: int,
+    batchnorm_type: str,
+    init_bias: jnp.ndarray,  # (D,) token-embedding mean
+    init_scale: jnp.ndarray,  # (D,) token-embedding std (unbiased)
+    std_scale=1.0,
+    parallel: bool = False,
+) -> Tuple[Params, Params]:
+    """Returns (params, state)."""
+    if not isinstance(std_scale, (list, tuple)):
+        std_scale = [std_scale] * kw_num
+    init_bias = init_bias.astype(jnp.float32)
+    init_scale = init_scale.astype(jnp.float32)
+
+    if batchnorm_type == "eachKw" and parallel:
+        scale = jnp.tile(init_scale * std_scale[0], kw_num)  # (D*K,)
+        bias = jnp.tile(init_bias, kw_num)
+        n_feat = kw_dim * kw_num
+    elif batchnorm_type == "eachKw":
+        scale = jnp.stack(
+            [init_scale * std_scale[i] for i in range(kw_num)], axis=0
+        )  # (K, D)
+        bias = jnp.broadcast_to(init_bias, (kw_num, kw_dim))
+        n_feat = None
+    elif batchnorm_type == "same":
+        scale = init_scale * std_scale[0]
+        bias = init_bias
+        n_feat = kw_dim
+    else:
+        raise NotImplementedError(batchnorm_type)
+
+    params = {"scale": scale, "bias": bias}
+    state = {
+        "mean": jnp.zeros_like(scale),
+        "var": jnp.ones_like(scale),
+    }
+    return params, state
+
+
+def _bn(
+    x: jnp.ndarray,  # (N, C)
+    params: Params,
+    state: Params,
+    train: bool,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+    weights: Optional[jnp.ndarray] = None,  # (N,) 0/1 sample weights
+) -> Tuple[jnp.ndarray, Params]:
+    x32 = x.astype(jnp.float32)
+    if train:
+        if weights is None:
+            n = x.shape[0]
+            mean = jnp.mean(x32, axis=0)
+            var = jnp.mean(jnp.square(x32 - mean), axis=0)
+        else:
+            w = weights.astype(jnp.float32)[:, None]
+            n = jnp.sum(w)
+            mean = jnp.sum(x32 * w, axis=0) / n
+            var = jnp.sum(jnp.square(x32 - mean) * w, axis=0) / n
+        unbiased = var * (n / jnp.maximum(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    y = (x32 - mean) / jnp.sqrt(var + eps)
+    y = y * params["scale"] + params["bias"]
+    return y.astype(x.dtype), new_state
+
+
+def kw_bn_apply(
+    params: Params,
+    state: Params,
+    keywords: jnp.ndarray,  # (B, K, D)
+    *,
+    batchnorm_type: str,
+    parallel: bool = False,
+    train: bool = False,
+    seq_lens: Optional[jnp.ndarray] = None,  # (B,) for `same` variable-length
+) -> Tuple[jnp.ndarray, Params]:
+    bsz, kw_num, kw_dim = keywords.shape
+
+    if batchnorm_type == "eachKw" and parallel:
+        # (B, K, D) -> (B, D, K) -> (B, D*K): feature index = d*K + k
+        flat = keywords.transpose(0, 2, 1).reshape(bsz, kw_dim * kw_num)
+        out, new_state = _bn(flat, params, state, train)
+        out = out.reshape(bsz, kw_dim, kw_num).transpose(0, 2, 1)
+        return out, new_state
+
+    if batchnorm_type == "eachKw":
+        # vectorized over the keyword axis: (K, B, D) batch of BNs
+        x = keywords.transpose(1, 0, 2).astype(jnp.float32)  # (K, B, D)
+        if train:
+            mean = jnp.mean(x, axis=1)  # (K, D)
+            var = jnp.mean(jnp.square(x - mean[:, None, :]), axis=1)
+            n = bsz
+            unbiased = var * (n / max(n - 1, 1))
+            new_state = {
+                "mean": 0.9 * state["mean"] + 0.1 * mean,
+                "var": 0.9 * state["var"] + 0.1 * unbiased,
+            }
+        else:
+            mean, var = state["mean"], state["var"]
+            new_state = state
+        y = (x - mean[:, None, :]) / jnp.sqrt(var[:, None, :] + 1e-5)
+        y = y * params["scale"][:, None, :] + params["bias"][:, None, :]
+        return y.transpose(1, 0, 2).astype(keywords.dtype), new_state
+
+    if batchnorm_type == "same":
+        flat = keywords.reshape(bsz * kw_num, kw_dim)
+        if seq_lens is None:
+            out, new_state = _bn(flat, params, state, train)
+            return out.reshape(bsz, kw_num, kw_dim), new_state
+        # masked path: stats over valid positions only; padded positions
+        # pass through unchanged (reference kw_bn.py:137-158)
+        mask = valid_mask(seq_lens, kw_num)  # (B, K)
+        out, new_state = _bn(
+            flat, params, state, train, weights=mask.reshape(-1)
+        )
+        out = out.reshape(bsz, kw_num, kw_dim)
+        out = jnp.where(mask[..., None], out, keywords)
+        return out, new_state
+
+    raise NotImplementedError(batchnorm_type)

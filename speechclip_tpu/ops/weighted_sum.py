@@ -1,0 +1,45 @@
+"""Learnable softmax-weighted sum over encoder hidden states.
+
+Equivalent of the reference WeightedSumLayer
+(avssl/module/weighted_sum.py:10-45): logits init to zero, softmax over the
+layer axis, optional per-state LayerNorm before summing (the "s3prl"
+normalize mode, enabled for the large configs via
+``normalize_hiddenstates: true`` + ``normalize_type: s3prl``).
+
+TPU note: the stack+weighted-sum is expressed as a single einsum over a
+stacked (N, B, T, D) tensor so XLA fuses it into one pass over HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .basic import Params, layer_norm
+
+
+def weighted_sum_init(n_weights: int) -> Params:
+    return {"weights": jnp.zeros((n_weights,), jnp.float32)}
+
+
+def weighted_sum_apply(
+    params: Params,
+    hidden_states: Sequence[jnp.ndarray] | jnp.ndarray,
+    normalize_features: bool = False,
+) -> jnp.ndarray:
+    if not isinstance(hidden_states, jnp.ndarray):
+        x = jnp.stack(list(hidden_states), axis=0)  # (N, B, T, D)
+    else:
+        x = hidden_states
+    assert x.shape[0] == params["weights"].shape[0], (
+        x.shape,
+        params["weights"].shape,
+    )
+    if normalize_features:
+        x = layer_norm(None, x)
+    w = jax.nn.softmax(params["weights"].astype(jnp.float32))
+    return jnp.einsum(
+        "n,nbtd->btd", w.astype(x.dtype), x, preferred_element_type=jnp.float32
+    ).astype(x.dtype)

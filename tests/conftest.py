@@ -1,0 +1,27 @@
+"""Test configuration: force a virtual 8-device CPU platform BEFORE any jax
+backend is created, so sharding/collective tests run hermetically (the
+capability the reference lacks — SURVEY.md §4 takeaway).
+
+Note: this environment registers a TPU PJRT plugin via sitecustomize and
+pins JAX_PLATFORMS in the shell env, so the env var alone is not enough —
+jax.config.update wins as long as no backend has been touched yet.
+"""
+
+import os
+import sys
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu", (
+    "tests require the virtual 8-device CPU platform; got " + repr(jax.devices())
+)
