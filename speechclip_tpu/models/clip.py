@@ -1,0 +1,357 @@
+"""CLIP towers, TPU-native.
+
+Re-implements the capability surface of the reference ClipModel wrapper
+(avssl/module/clip_official.py:26-294) over OpenAI-CLIP-architecture towers:
+
+- vision transformer image encoder (``encode_image``)
+- causal text transformer (``encode_text``)
+- ``encode_keywords`` — the cascaded branch's path into the text tower
+  (reference :220-264): a 77-slot buffer with SOT/EOT tokens whose
+  positions 1..K are replaced by K keyword embeddings
+- reduced-subword-vocabulary mode (reference :61-106): the token embedding
+  table is shrunk to the dataset's observed subwords, with
+  original<->reduced id maps
+
+Pre-norm residual blocks with QuickGELU; text attention is causal. Weights
+convert from OpenAI CLIP or HuggingFace CLIPModel state dicts
+(speechclip_tpu.convert).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import causal_bias, multi_head_attention
+from ..ops.basic import Params, layer_norm, linear, quick_gelu
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    image_size: int = 224
+    patch_size: int = 32
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    output_dim: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    context_length: int = 77
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+    output_dim: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    vision: CLIPVisionConfig = CLIPVisionConfig()
+    text: CLIPTextConfig = CLIPTextConfig()
+
+    @property
+    def embed_dim(self) -> int:
+        return self.text.output_dim
+
+
+CLIP_VIT_B32 = CLIPConfig()
+CLIP_VIT_B16 = CLIPConfig(vision=CLIPVisionConfig(patch_size=16))
+CLIP_VIT_L14 = CLIPConfig(
+    vision=CLIPVisionConfig(
+        patch_size=14, width=1024, layers=24, heads=16, output_dim=768
+    ),
+    text=CLIPTextConfig(width=768, heads=12, output_dim=768),
+)
+
+NAMED_CONFIGS = {
+    "ViT-B/32": CLIP_VIT_B32,
+    "ViT-B/16": CLIP_VIT_B16,
+    "ViT-L/14": CLIP_VIT_L14,
+}
+
+IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+# ---------------------------------------------------------------------------
+# init (random; real runs load converted weights)
+# ---------------------------------------------------------------------------
+def _block_init(rng: jax.Array, width: int, ffn: int) -> Params:
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    scale = width**-0.5
+
+    def lin(key, i, o, std):
+        return {
+            "w": jax.random.normal(key, (i, o), jnp.float32) * std,
+            "b": jnp.zeros((o,), jnp.float32),
+        }
+
+    def ln(dim):
+        return {
+            "scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32),
+        }
+
+    return {
+        "attn": {
+            "in_proj": lin(k1, width, 3 * width, scale),
+            "out_proj": lin(k2, width, width, scale),
+        },
+        "ln_1": ln(width),
+        "mlp": {"c_fc": lin(k3, width, ffn, scale), "c_proj": lin(k4, ffn, width, scale)},
+        "ln_2": ln(width),
+    }
+
+
+def clip_init(rng: jax.Array, cfg: CLIPConfig) -> Params:
+    kv, kt, kc, kp, ke, kpe, ktp = jax.random.split(rng, 7)
+    v, t = cfg.vision, cfg.text
+    grid = v.image_size // v.patch_size
+
+    def ln(dim):
+        return {
+            "scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32),
+        }
+
+    visual = {
+        "conv1": {
+            "w": jax.random.normal(
+                kc, (v.patch_size, v.patch_size, 3, v.width), jnp.float32
+            )
+            * (v.width**-0.5)
+        },
+        "class_embedding": jax.random.normal(kp, (v.width,), jnp.float32)
+        * (v.width**-0.5),
+        "positional_embedding": jax.random.normal(
+            kv, (grid * grid + 1, v.width), jnp.float32
+        )
+        * (v.width**-0.5),
+        "ln_pre": ln(v.width),
+        "blocks": [
+            _block_init(k, v.width, v.width * 4)
+            for k in jax.random.split(kv, v.layers)
+        ],
+        "ln_post": ln(v.width),
+        "proj": jax.random.normal(kt, (v.width, v.output_dim), jnp.float32)
+        * (v.width**-0.5),
+    }
+    text = {
+        "token_embedding": jax.random.normal(
+            ke, (t.vocab_size, t.width), jnp.float32
+        )
+        * 0.02,
+        "positional_embedding": jax.random.normal(
+            kpe, (t.context_length, t.width), jnp.float32
+        )
+        * 0.01,
+        "blocks": [
+            _block_init(k, t.width, t.width * 4)
+            for k in jax.random.split(kt, t.layers)
+        ],
+        "ln_final": ln(t.width),
+        "text_projection": jax.random.normal(
+            ktp, (t.width, t.output_dim), jnp.float32
+        )
+        * (t.width**-0.5),
+    }
+    return {
+        "visual": visual,
+        "text": text,
+        "logit_scale": jnp.asarray(np.log(1 / 0.07), jnp.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+def _resblock(
+    params: Params,
+    x: jnp.ndarray,
+    heads: int,
+    attn_bias: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    h, _ = multi_head_attention(
+        params["attn"],
+        layer_norm(params["ln_1"], x),
+        layer_norm(params["ln_1"], x),
+        layer_norm(params["ln_1"], x),
+        num_heads=heads,
+        attn_mask=attn_bias,
+    )
+    x = x + h
+    y = layer_norm(params["ln_2"], x)
+    y = linear(params["mlp"]["c_proj"], quick_gelu(linear(params["mlp"]["c_fc"], y)))
+    return x + y
+
+
+def encode_image(
+    params: Params, cfg: CLIPConfig, images: jnp.ndarray
+) -> jnp.ndarray:
+    """images: (B, H, W, 3) normalized NHWC -> (B, output_dim).
+
+    (reference clip_official.py:200-209 -> CLIP VisionTransformer)"""
+    v = cfg.vision
+    x = jax.lax.conv_general_dilated(
+        images,
+        params["visual"]["conv1"]["w"].astype(images.dtype),
+        window_strides=(v.patch_size, v.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(images.dtype)
+    b, gh, gw, w = x.shape
+    x = x.reshape(b, gh * gw, w)
+    cls = jnp.broadcast_to(
+        params["visual"]["class_embedding"].astype(x.dtype), (b, 1, w)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["visual"]["positional_embedding"].astype(x.dtype)
+    x = layer_norm(params["visual"]["ln_pre"], x)
+    for block in params["visual"]["blocks"]:
+        x = _resblock(block, x, v.heads, None)
+    x = layer_norm(params["visual"]["ln_post"], x[:, 0])
+    return (x @ params["visual"]["proj"].astype(x.dtype))
+
+
+def _text_transformer(
+    params: Params, cfg: CLIPConfig, x: jnp.ndarray
+) -> jnp.ndarray:
+    bias = causal_bias(x.shape[1])
+    for block in params["text"]["blocks"]:
+        x = _resblock(block, x, cfg.text.heads, bias)
+    return x
+
+
+def encode_text(
+    params: Params,
+    cfg: CLIPConfig,
+    text: jnp.ndarray,  # (B, 77) int token ids (reduced ids in reduced mode)
+    eot_positions: Optional[jnp.ndarray] = None,  # (B,) index of EOT token
+) -> jnp.ndarray:
+    """(reference clip_official.py:211-218 -> CLIP.encode_text)
+
+    The reference locates EOT via ``text.argmax(-1)``, which silently breaks
+    under the reduced vocabulary (EOT is no longer the max id). Here the EOT
+    position is passed explicitly (datasets emit it); ``argmax`` is the
+    fallback for full-vocab ids.
+    """
+    emb = params["text"]["token_embedding"][text]
+    x = emb + params["text"]["positional_embedding"].astype(emb.dtype)
+    x = _text_transformer(params, cfg, x)
+    x = layer_norm(params["text"]["ln_final"], x)
+    if eot_positions is None:
+        eot_positions = jnp.argmax(text, axis=-1)
+    pooled = jnp.take_along_axis(
+        x, eot_positions[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    return pooled @ params["text"]["text_projection"].astype(pooled.dtype)
+
+
+def encode_keywords(
+    params: Params,
+    cfg: CLIPConfig,
+    keywords: jnp.ndarray,  # (B, K, text_width) keyword embeddings
+    sot_id: int,
+    eot_id: int,
+) -> jnp.ndarray:
+    """Inject K keyword embeddings into a SOT/EOT 77-token buffer and run
+    the text tower; pool at position K+1 (EOT)
+    (reference clip_official.py:220-264)."""
+    b, k, w = keywords.shape
+    ctx = cfg.text.context_length
+    emb_table = params["text"]["token_embedding"]
+    # token buffer: [SOT, kw_1..kw_K, EOT, 0, 0, ...]
+    zero_emb = emb_table[0].astype(keywords.dtype)
+    sot_emb = emb_table[sot_id].astype(keywords.dtype)
+    eot_emb = emb_table[eot_id].astype(keywords.dtype)
+    rest = jnp.broadcast_to(zero_emb, (b, ctx - k - 2, w))
+    x = jnp.concatenate(
+        [
+            jnp.broadcast_to(sot_emb, (b, 1, w)),
+            keywords,
+            jnp.broadcast_to(eot_emb, (b, 1, w)),
+            rest,
+        ],
+        axis=1,
+    )
+    x = x + params["text"]["positional_embedding"].astype(x.dtype)
+    x = _text_transformer(params, cfg, x)
+    x = layer_norm(params["text"]["ln_final"], x)
+    pooled = x[:, k + 1]
+    return pooled @ params["text"]["text_projection"].astype(pooled.dtype)
+
+
+def get_scores(
+    params: Params,
+    cfg: CLIPConfig,
+    images: jnp.ndarray,
+    text: jnp.ndarray,
+    eot_positions: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """logit_scale-scaled cosine scores (reference clip_official.py:279-289)."""
+    img = encode_image(params, cfg, images)
+    txt = encode_text(params, cfg, text, eot_positions)
+    img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+    txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+    scale = jnp.exp(params["logit_scale"])
+    logits_per_image = scale * img @ txt.T
+    return logits_per_image, logits_per_image.T
+
+
+# ---------------------------------------------------------------------------
+# reduced vocabulary (reference clip_official.py:61-106)
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class ReducedVocab:
+    selected_ids: np.ndarray  # (V_red,) original token ids
+    original_to_reduced: dict
+    reduced_to_original: dict
+    freq_dist: np.ndarray  # (V_red,) normalized frequencies
+
+    @property
+    def size(self) -> int:
+        return len(self.selected_ids)
+
+    def map_original(self, ids: np.ndarray) -> np.ndarray:
+        """Vectorized original->reduced id mapping (host side)."""
+        lut = np.full(int(self.selected_ids.max()) + 1, -1, np.int64)
+        lut[self.selected_ids] = np.arange(len(self.selected_ids))
+        mapped = lut[ids]
+        if (mapped < 0).any():
+            raise KeyError("token id outside the reduced vocabulary")
+        return mapped
+
+    def map_reduced(self, ids: np.ndarray) -> np.ndarray:
+        return self.selected_ids[ids]
+
+
+def load_reduced_vocab(npy_path: str) -> ReducedVocab:
+    data = np.load(npy_path)
+    selected = data[:, 0].astype(np.int64)
+    freq = data[:, 1].astype(np.float64)
+    return ReducedVocab(
+        selected_ids=selected,
+        original_to_reduced={int(o): i for i, o in enumerate(selected)},
+        reduced_to_original={i: int(o) for i, o in enumerate(selected)},
+        freq_dist=freq / freq.sum(),
+    )
+
+
+def reduce_token_embedding(params: Params, vocab: ReducedVocab) -> Params:
+    """Swap the text token-embedding table for the reduced one; the original
+    table is kept for detokenization diagnostics (reference keeps
+    original_text_emb_weight, :81)."""
+    full = params["text"]["token_embedding"]
+    new_text = dict(params["text"])
+    new_text["token_embedding"] = full[jnp.asarray(vocab.selected_ids)]
+    new_text["original_token_embedding"] = full
+    out = dict(params)
+    out["text"] = new_text
+    return out

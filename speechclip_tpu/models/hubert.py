@@ -1,0 +1,363 @@
+"""HuBERT speech encoder, TPU-native.
+
+Re-implements the capability of the reference's fairseq-backed encoder
+(avssl/module/speech_encoder_plus.py:319-634 and its monkey-patched
+customHubertForward :67-107 / custom extract_features :29-64): waveform in,
+ALL transformer hidden states out (13 for base, 25 for large).
+
+Architecture (fairseq HubertModel contract):
+  wav (B, L)
+    -> 7x strided 1-D convolutions, 320x downsampling           [conv frontend]
+       (mode "default": GroupNorm after conv0; "layer_norm": LN after each)
+    -> LayerNorm(512) -> Linear(512 -> D)                        [post-extract]
+    -> + grouped conv positional embedding (k=128, g=16, GELU)   [pos_conv]
+    -> (post-norm: LayerNorm)  -> N transformer layers           [encoder]
+  hidden_states = [pre-layer input] + [every layer output]
+
+TPU design notes:
+- static shapes: the wav buffer length is a bucket constant; per-utterance
+  lengths ride along and become masks (ops.masking);
+- convs run as ``lax.conv_general_dilated`` in NWC layout so XLA tiles them
+  onto the MXU; everything downstream is (B, T, D) matmuls;
+- pos_conv weight-norm is folded into a plain conv weight at conversion
+  time (the tower is frozen in every shipped config);
+- masked positions are zeroed before pos_conv (reference index_put, :33).
+
+Weights load via speechclip_tpu.convert (fairseq checkpoint or HuggingFace
+transformers HubertModel state dict).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import multi_head_attention
+from ..ops.basic import Params, dropout, gelu, layer_norm, linear
+from ..ops.masking import conv_frame_valid_lengths, key_padding_mask, valid_mask
+
+
+@dataclasses.dataclass(frozen=True)
+class HubertConfig:
+    # conv frontend: (channels, kernel, stride) per layer; 320x total
+    conv_layers: Tuple[Tuple[int, int, int], ...] = (
+        (512, 10, 5),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 2, 2),
+        (512, 2, 2),
+    )
+    extractor_mode: str = "default"  # "default" (GN on conv0) | "layer_norm"
+    conv_bias: bool = False
+    encoder_embed_dim: int = 768
+    encoder_layers: int = 12
+    encoder_ffn_dim: int = 3072
+    encoder_heads: int = 12
+    layer_norm_first: bool = False  # base: post-norm; large: pre-norm
+    pos_conv_kernel: int = 128
+    pos_conv_groups: int = 16
+    normalize_waveform: bool = False  # task.cfg.normalize (large: True)
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.0
+    layerdrop: float = 0.0
+    downsample_rate: int = 320
+
+    @property
+    def num_hidden_states(self) -> int:
+        return self.encoder_layers + 1
+
+
+HUBERT_BASE = HubertConfig()
+HUBERT_LARGE = HubertConfig(
+    encoder_embed_dim=1024,
+    encoder_layers=24,
+    encoder_ffn_dim=4096,
+    encoder_heads=16,
+    layer_norm_first=True,
+    extractor_mode="layer_norm",
+    normalize_waveform=True,
+)
+
+NAMED_CONFIGS = {
+    "hubert": HUBERT_BASE,
+    "hubert_base": HUBERT_BASE,
+    "hubert_large_ll60k": HUBERT_LARGE,
+}
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+def hubert_init(rng: jax.Array, cfg: HubertConfig) -> Params:
+    """Random init (reference supports pretrained=False via init_weights,
+    speech_encoder_plus.py:397-398). Real runs load converted weights."""
+    n_conv = len(cfg.conv_layers)
+    keys = iter(jax.random.split(rng, n_conv + cfg.encoder_layers * 6 + 8))
+
+    convs: List[Params] = []
+    in_ch = 1
+    for i, (ch, k, _s) in enumerate(cfg.conv_layers):
+        w = jax.random.normal(next(keys), (k, in_ch, ch), jnp.float32) * (
+            1.0 / (k * in_ch) ** 0.5
+        )
+        layer: Params = {"w": w}
+        layer["b"] = jnp.zeros((ch,), jnp.float32) if cfg.conv_bias else None
+        if cfg.extractor_mode == "layer_norm" or (
+            cfg.extractor_mode == "default" and i == 0
+        ):
+            layer["norm"] = {
+                "scale": jnp.ones((ch,), jnp.float32),
+                "bias": jnp.zeros((ch,), jnp.float32),
+            }
+        convs.append(layer)
+        in_ch = ch
+
+    d, f = cfg.encoder_embed_dim, cfg.encoder_ffn_dim
+
+    def lin(key, i, o):
+        return {
+            "w": jax.random.normal(key, (i, o), jnp.float32) * (i**-0.5),
+            "b": jnp.zeros((o,), jnp.float32),
+        }
+
+    def ln(dim):
+        return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+    layers = []
+    for _ in range(cfg.encoder_layers):
+        layers.append(
+            {
+                "self_attn": {
+                    "in_proj": {
+                        "w": jax.random.normal(next(keys), (d, 3 * d), jnp.float32)
+                        * (d**-0.5),
+                        "b": jnp.zeros((3 * d,), jnp.float32),
+                    },
+                    "out_proj": lin(next(keys), d, d),
+                },
+                "self_attn_layer_norm": ln(d),
+                "fc1": lin(next(keys), d, f),
+                "fc2": lin(next(keys), f, d),
+                "final_layer_norm": ln(d),
+            }
+        )
+
+    c_last = cfg.conv_layers[-1][0]
+    pos_w = jax.random.normal(
+        next(keys),
+        (cfg.pos_conv_kernel, d // cfg.pos_conv_groups, d),
+        jnp.float32,
+    ) * (0.02)
+
+    return {
+        "feature_extractor": convs,
+        "layer_norm": ln(c_last),
+        "post_extract_proj": (
+            lin(next(keys), c_last, d) if c_last != d else None
+        ),
+        "encoder": {
+            "pos_conv": {"w": pos_w, "b": jnp.zeros((d,), jnp.float32)},
+            "layer_norm": ln(d),
+            "layers": layers,
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward pieces
+# ---------------------------------------------------------------------------
+def _group_norm_per_channel(x: jnp.ndarray, norm: Params) -> jnp.ndarray:
+    """fairseq mode="default": GroupNorm(C, C) == per-channel instance norm
+    over time. x: (B, T, C)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = y * norm["scale"] + norm["bias"]
+    return y.astype(x.dtype)
+
+
+def conv_feature_extractor(
+    params: List[Params], cfg: HubertConfig, wav: jnp.ndarray
+) -> jnp.ndarray:
+    """wav (B, L) -> features (B, T, C_last). VALID padding, stride per layer
+    (fairseq ConvFeatureExtractionModel contract)."""
+    x = wav[:, :, None]  # (B, L, 1) NWC
+    for i, (layer, (_ch, k, s)) in enumerate(zip(params, cfg.conv_layers)):
+        x = jax.lax.conv_general_dilated(
+            x,
+            layer["w"].astype(x.dtype),
+            window_strides=(s,),
+            padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        if layer.get("b") is not None:
+            x = x + layer["b"].astype(x.dtype)
+        if cfg.extractor_mode == "default" and i == 0:
+            x = _group_norm_per_channel(x, layer["norm"])
+        elif cfg.extractor_mode == "layer_norm":
+            x = layer_norm(layer["norm"], x)
+        x = gelu(x)
+    return x
+
+
+def pos_conv_apply(params: Params, cfg: HubertConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Grouped conv positional embedding with SamePad trim + GELU
+    (reference custom extract_features :35-37)."""
+    d = cfg.encoder_embed_dim
+    pad = cfg.pos_conv_kernel // 2
+    y = jax.lax.conv_general_dilated(
+        x,
+        params["w"].astype(x.dtype),
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=cfg.pos_conv_groups,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    y = y + params["b"].astype(x.dtype)
+    if cfg.pos_conv_kernel % 2 == 0:  # SamePad removes the trailing step
+        y = y[:, :-1, :]
+    return gelu(y)
+
+
+def encoder_layer_apply(
+    params: Params,
+    cfg: HubertConfig,
+    x: jnp.ndarray,
+    kpm: Optional[jnp.ndarray],
+    rng: Optional[jax.Array],
+    train: bool,
+) -> jnp.ndarray:
+    """fairseq TransformerSentenceEncoderLayer (post- or pre-norm)."""
+    if rng is not None:
+        r_attn, r1, r2, r3 = jax.random.split(rng, 4)
+    else:
+        r_attn = r1 = r2 = r3 = None
+
+    def attn(h):
+        out, _ = multi_head_attention(
+            params["self_attn"],
+            h,
+            h,
+            h,
+            num_heads=cfg.encoder_heads,
+            key_padding_mask=kpm,
+            dropout_rate=cfg.attention_dropout,
+            rng=r_attn,
+            train=train,
+        )
+        return dropout(r1, out, cfg.dropout, train)
+
+    def ffn(h):
+        h = gelu(linear(params["fc1"], h))
+        h = dropout(r2, h, cfg.activation_dropout, train)
+        h = linear(params["fc2"], h)
+        return dropout(r3, h, cfg.dropout, train)
+
+    if cfg.layer_norm_first:
+        x = x + attn(layer_norm(params["self_attn_layer_norm"], x))
+        x = x + ffn(layer_norm(params["final_layer_norm"], x))
+    else:
+        x = layer_norm(params["self_attn_layer_norm"], x + attn(x))
+        x = layer_norm(params["final_layer_norm"], x + ffn(x))
+    return x
+
+
+def hubert_apply(
+    params: Params,
+    cfg: HubertConfig,
+    wav: jnp.ndarray,  # (B, L) f32, zero-padded
+    wav_lengths: jnp.ndarray,  # (B,) int
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
+    """Full forward. Returns (hidden_states tuple of (B, T, D), feat_lengths).
+
+    hidden_states mirrors the reference layer_results contract
+    (speech_encoder_plus.py:47-56): entry 0 is the encoder input after
+    pos_conv (+ LayerNorm for post-norm), then one entry per layer output.
+    feat_lengths is round(len/320) clamped (reference :604-611).
+    """
+    compute_dtype = wav.dtype
+
+    if cfg.normalize_waveform:
+        # per-utterance layer_norm over VALID samples only (the reference
+        # normalizes each wav before padding, speech_encoder_plus.py:507-508)
+        vm = valid_mask(wav_lengths, wav.shape[1]).astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(vm, axis=1, keepdims=True), 1.0)
+        w32 = wav.astype(jnp.float32) * vm
+        mean = jnp.sum(w32, axis=1, keepdims=True) / n
+        var = jnp.sum(jnp.square((w32 - mean) * vm), axis=1, keepdims=True) / n
+        wav = (((wav.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)) * vm).astype(
+            compute_dtype
+        )
+
+    feats = conv_feature_extractor(params["feature_extractor"], cfg, wav)
+    feats = layer_norm(params["layer_norm"], feats)
+    if params.get("post_extract_proj") is not None:
+        feats = linear(params["post_extract_proj"], feats)
+
+    num_frames = feats.shape[1]
+    frame_lens = conv_frame_valid_lengths(wav_lengths, wav.shape[1], num_frames)
+    kpm = key_padding_mask(frame_lens, num_frames)
+
+    # zero padded positions before pos_conv (reference index_put, :33)
+    x = jnp.where(kpm[..., None], jnp.zeros_like(feats), feats)
+    x = x + pos_conv_apply(params["encoder"]["pos_conv"], cfg, x)
+    if not cfg.layer_norm_first:
+        x = layer_norm(params["encoder"]["layer_norm"], x)
+    if train and cfg.dropout > 0 and rng is not None:
+        rng, r = jax.random.split(rng)
+        x = dropout(r, x, cfg.dropout, train)
+
+    hidden_states = [x]
+    n_layers = len(params["encoder"]["layers"])
+    if rng is not None:
+        layer_rngs = list(jax.random.split(rng, 2 * n_layers))
+    else:
+        layer_rngs = [None] * (2 * n_layers)
+    for i, layer in enumerate(params["encoder"]["layers"]):
+        y = encoder_layer_apply(layer, cfg, x, kpm, layer_rngs[2 * i], train)
+        if train and cfg.layerdrop > 0 and layer_rngs[2 * i + 1] is not None:
+            keep = jax.random.bernoulli(
+                layer_rngs[2 * i + 1], 1.0 - cfg.layerdrop
+            )
+            x = jnp.where(keep, y, x)
+        else:
+            x = y
+        hidden_states.append(x)
+
+    from ..ops.masking import hubert_feature_lengths
+
+    feat_lens = hubert_feature_lengths(
+        wav_lengths, cfg.downsample_rate, num_frames
+    )
+    return tuple(hidden_states), feat_lens
+
+
+def normalize_hidden_states(
+    hidden_states: Tuple[jnp.ndarray, ...], method: str
+) -> Tuple[jnp.ndarray, ...]:
+    """Optional hidden-state normalization (reference :572-592)."""
+    if method == "method1":
+        return tuple(
+            h / (jnp.linalg.norm(h.astype(jnp.float32), axis=-1, keepdims=True) + 1e-8)
+            for h in hidden_states
+        )
+    if method == "method2":
+        return tuple(
+            h
+            / jnp.mean(
+                jnp.linalg.norm(h.astype(jnp.float32), axis=-1), axis=-1
+            )[:, None, None]
+            for h in hidden_states
+        )
+    raise NotImplementedError(method)

@@ -1,0 +1,507 @@
+"""The SpeechCLIP model: HuBERT x frozen CLIP with parallel/cascaded heads.
+
+TPU-native equivalent of the reference KWClipBase /
+KWClip_GeneralTransformer (avssl/model/kwClip.py:49-694, :1111-1496). The
+torch Lightning module becomes a host-side description object
+(``SpeechCLIPModel``) plus pure functions over (params, state) pytrees:
+
+  init(rng)                        -> (params, state)
+  forward(params, state, batch)    -> (loss_feats, log_metrics, others, state')
+  compute_loss(params, loss_feats) -> losses dict
+  encode_speech(params, state, wav, wav_len)          (reference :1299-1383)
+  extract_hidden_states(...)       == feature_extractor_s3prl (:1214-1246)
+  get_attention_weights(...)       (:1480-1496)
+
+Static shapes: the data pipeline buckets waveforms; T = bucket_len/320
+frames. Mixed precision: params stay f32, activations run in the configured
+compute dtype (bf16 on TPU), feature normalization and the loss in f32.
+
+The contrastive loss is written as global-batch math; under pjit with
+batch-sharded inputs XLA inserts the cross-chip all-gathers so negatives
+span the pod slice (replaces the reference's DP training_step_end gather,
+kwClip.py:147-191).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ConfigNode
+from ..ops.basic import Params, l2_normalize
+from ..ops.losses import (
+    contrastive_temp_init,
+    contrastive_temperature,
+    masked_contrastive_loss,
+)
+from ..ops.mlp import mlp_apply, mlp_init
+from ..ops.weighted_sum import weighted_sum_apply, weighted_sum_init
+from . import branches, clip as clip_mod, hubert
+
+WEIGHTED_SUM_MODE = "weighted_sum"
+
+
+def _compute_dtype(config: ConfigNode):
+    precision = config.get_path("trainer.precision", 32)
+    if str(precision) in ("16", "bf16", "bfloat16"):
+        return jnp.bfloat16
+    return jnp.float32
+
+
+@dataclasses.dataclass
+class SpeechCLIPModel:
+    """Host-side model description; all heavy math lives in pure methods."""
+
+    config: ConfigNode
+
+    def __post_init__(self):
+        cfg = self.config
+        ae_type = cfg.audio_encoder.type
+        if ae_type not in ("FairseqHubert", "s3prl_plus"):
+            raise NotImplementedError(f"audio encoder type {ae_type}")
+        custom_ae = cfg.audio_encoder.get("custom")
+        if custom_ae is not None:
+            kwargs = dict(custom_ae.to_dict())
+            if "conv_layers" in kwargs:
+                kwargs["conv_layers"] = tuple(
+                    tuple(l) for l in kwargs["conv_layers"]
+                )
+            self.audio_cfg = hubert.HubertConfig(**kwargs)
+        else:
+            self.audio_cfg = hubert.NAMED_CONFIGS[cfg.audio_encoder.name]
+        if cfg.audio_encoder.get("normalize_hiddenstates", False):
+            self.hidden_norm_type = cfg.audio_encoder.get("normalize_type", "s3prl")
+        else:
+            self.hidden_norm_type = None
+        custom_clip = cfg.clip.get("custom")
+        if custom_clip is not None:
+            self.clip_cfg = clip_mod.CLIPConfig(
+                vision=clip_mod.CLIPVisionConfig(**custom_clip.vision.to_dict()),
+                text=clip_mod.CLIPTextConfig(**custom_clip.text.to_dict()),
+            )
+        else:
+            self.clip_cfg = clip_mod.NAMED_CONFIGS[cfg.clip.name]
+        self.audio_embd_dim = self.audio_cfg.encoder_embed_dim
+        self.subword_embd_dim = self.clip_cfg.text.width
+        self.compute_dtype = _compute_dtype(cfg)
+
+        self.reduced_vocab = None
+        reduce_path = cfg.clip.get("reduce_subword_embbedding")
+        if reduce_path:
+            self.reduced_vocab = clip_mod.load_reduced_vocab(reduce_path)
+        # CLIP vocab convention: SOT/EOT are the last two ids
+        full_sot = self.clip_cfg.text.vocab_size - 2
+        full_eot = self.clip_cfg.text.vocab_size - 1
+        if self.reduced_vocab is not None:
+            self.sot_id = self.reduced_vocab.original_to_reduced[full_sot]
+            self.eot_id = self.reduced_vocab.original_to_reduced[full_eot]
+        else:
+            self.sot_id, self.eot_id = full_sot, full_eot
+
+        ms = cfg.model_settings
+        self.use_cascaded = ms.get("cascaded_objective_weight", 0.0) > 0
+        self.use_parallel = ms.get("parallel_objective_weight", 0.0) > 0
+        self.keyword_num = cfg.get_path(
+            "model_settings.cascaded_branch.keyword.number", 8
+        )
+        self.recall_at = cfg.get_path("retrieval.recall_at", [1, 5, 10])
+
+        cl = cfg.cl_loss
+        if cl.type != "MaskedContrastiveLoss":
+            raise NotImplementedError(
+                "KWClip path supports MaskedContrastiveLoss (as the reference "
+                "does in practice; its compute_loss calls the masked-loss "
+                "signature, kwClip.py:1276-1295)"
+            )
+        self.loss_kwargs = dict(
+            temperature=cl.args.get("temperature", 0.07),
+            temperature_trainable=cl.args.get("temperature_trainable", False),
+            margin=cl.args.get("margin", 0.0),
+            dcl=cl.args.get("dcl", False),
+            a2b=cl.args.get("a2b", True),
+            b2a=cl.args.get("b2a", True),
+        )
+
+    # ------------------------------------------------------------------ init
+    def init(self, rng: jax.Array) -> Tuple[Params, Params]:
+        cfg = self.config
+        keys = jax.random.split(rng, 8)
+        params: Params = {
+            "audio_encoder": hubert.hubert_init(keys[0], self.audio_cfg),
+            "clip": clip_mod.clip_init(keys[1], self.clip_cfg),
+            "criterion": contrastive_temp_init(
+                self.loss_kwargs["temperature"],
+                self.loss_kwargs["temperature_trainable"],
+            ),
+        }
+        state: Params = {}
+        if self.reduced_vocab is not None:
+            params["clip"] = clip_mod.reduce_token_embedding(
+                params["clip"], self.reduced_vocab
+            )
+        if cfg.audio_encoder.feat_select_idx == WEIGHTED_SUM_MODE:
+            params["weighted_sum"] = weighted_sum_init(
+                self.audio_cfg.num_hidden_states
+            )
+        if self.use_cascaded:
+            c_params, c_state = branches.cascaded_branch_init(
+                keys[2],
+                cfg.model_settings.cascaded_branch,
+                self.audio_embd_dim,
+                self.subword_embd_dim,
+                params["clip"]["text"]["token_embedding"],
+            )
+            params["cascaded_branch"] = c_params
+            if c_state:
+                state["cascaded_branch"] = c_state
+        if self.use_parallel:
+            params["parallel_branch"] = branches.parallel_branch_init(
+                keys[3],
+                cfg.model_settings.parallel_branch,
+                self.audio_embd_dim,
+                self.clip_cfg.embed_dim,
+            )
+        for key, cfg_key in [
+            ("img_enc_proj", "image_encoder_projection"),
+            ("p_branch_proj", "parallel_branch_projection"),
+            ("c_branch_proj", "cascaded_branch_projection"),
+        ]:
+            proj_cfg = cfg.model_settings.get(cfg_key)
+            if proj_cfg is not None:
+                params[key] = mlp_init(keys[4], proj_cfg.dimensions)
+        return params, state
+
+    # ------------------------------------------------------- audio encoding
+    def forward_audio(
+        self,
+        params: Params,
+        wav: jnp.ndarray,
+        wav_len: jnp.ndarray,
+        rng: Optional[jax.Array] = None,
+        train: bool = False,
+        return_hidden_states: bool = False,
+    ):
+        """(reference KWClipBase.forward_audio :91-118 +
+        FairseqSpeechEncoder_Hubert.forward :520-634)"""
+        train_encoder = train and self.config.audio_encoder.get("trainable", False)
+        wav = wav.astype(self.compute_dtype)
+        hidden_states, feat_len = hubert.hubert_apply(
+            params["audio_encoder"],
+            self.audio_cfg,
+            wav,
+            wav_len,
+            rng=rng,
+            train=train_encoder,
+        )
+        if not self.config.audio_encoder.get("trainable", False):
+            hidden_states = jax.tree.map(jax.lax.stop_gradient, hidden_states)
+        if self.hidden_norm_type in ("method1", "method2"):
+            hidden_states = hubert.normalize_hidden_states(
+                hidden_states, self.hidden_norm_type
+            )
+
+        select = self.config.audio_encoder.feat_select_idx
+        if select == WEIGHTED_SUM_MODE:
+            feat = weighted_sum_apply(
+                params["weighted_sum"],
+                hidden_states,
+                normalize_features=self.hidden_norm_type == "s3prl",
+            )
+        elif select == "last_hidden_state":
+            feat = hidden_states[-1]
+        elif isinstance(select, (list, tuple)):
+            feat = [hidden_states[i] for i in select]
+        else:
+            raise KeyError(select)
+        if return_hidden_states:
+            return feat, feat_len, hidden_states
+        return feat, feat_len
+
+    def forward_image(
+        self, params: Params, images: jnp.ndarray, rng=None, train: bool = False
+    ) -> jnp.ndarray:
+        """(reference forward_image :504-527 + optional MLP projection :1400-1402)"""
+        images = images.astype(self.compute_dtype)
+        feat = clip_mod.encode_image(params["clip"], self.clip_cfg, images)
+        feat = jax.lax.stop_gradient(feat) if not self.config.clip.get(
+            "image_encoder_trainable", False
+        ) else feat
+        if "img_enc_proj" in params:
+            proj_cfg = self.config.model_settings.image_encoder_projection
+            feat = mlp_apply(
+                params["img_enc_proj"],
+                feat,
+                dropout_rate=proj_cfg.get("dropout", 0.1),
+                rng=rng,
+                train=train,
+            )
+        return feat
+
+    def forward_text(
+        self,
+        params: Params,
+        text: jnp.ndarray,
+        eot_positions: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        return clip_mod.encode_text(
+            params["clip"], self.clip_cfg, text, eot_positions
+        )
+
+    # --------------------------------------------------------------- forward
+    def forward(
+        self,
+        params: Params,
+        state: Params,
+        batch: Dict[str, jnp.ndarray],
+        rng: Optional[jax.Array] = None,
+        train: bool = False,
+        num_updates: Optional[jnp.ndarray] = None,
+    ) -> Tuple[Dict, Dict, Dict, Params]:
+        """(reference KWClip_GeneralTransformer.forward :1385-1478)
+
+        Returns (loss_feats, log_metrics, others, new_state); loss_feats feeds
+        compute_loss (the reference's training_step/step_end contract).
+        """
+        if rng is not None:
+            r_audio, r_img, r_casc, r_par, r_proj = jax.random.split(rng, 5)
+        else:
+            r_audio = r_img = r_casc = r_par = r_proj = None
+
+        audio_feat, audio_len = self.forward_audio(
+            params, batch["wav"], batch["wav_len"], rng=r_audio, train=train
+        )
+        image_feat = self.forward_image(
+            params, batch["image"], rng=r_img, train=train
+        )
+
+        cascaded_audio_feat = None
+        parallel_audio_feat = None
+        vq_results = None
+        keywords = None
+        new_state = state
+        if self.use_cascaded:
+            (
+                cascaded_audio_feat,
+                vq_results,
+                keywords,
+                branch_state,
+            ) = branches.cascaded_branch_apply(
+                params["cascaded_branch"],
+                state.get("cascaded_branch", {}),
+                self.config.model_settings.cascaded_branch,
+                params["clip"],
+                self.clip_cfg,
+                self.sot_id,
+                self.eot_id,
+                audio_feat,
+                audio_len,
+                rng=r_casc,
+                train=train,
+                num_updates=num_updates,
+            )
+            new_state = dict(state)
+            if branch_state:
+                new_state["cascaded_branch"] = branch_state
+            if "c_branch_proj" in params:
+                proj_cfg = self.config.model_settings.cascaded_branch_projection
+                cascaded_audio_feat = mlp_apply(
+                    params["c_branch_proj"],
+                    cascaded_audio_feat,
+                    dropout_rate=proj_cfg.get("dropout", 0.1),
+                    rng=r_proj,
+                    train=train,
+                )
+
+        if self.use_parallel:
+            parallel_audio_feat = branches.parallel_branch_apply(
+                params["parallel_branch"],
+                self.config.model_settings.parallel_branch,
+                audio_feat,
+                audio_len,
+                rng=r_par,
+                train=train,
+            )
+            if "p_branch_proj" in params:
+                proj_cfg = self.config.model_settings.parallel_branch_projection
+                parallel_audio_feat = mlp_apply(
+                    params["p_branch_proj"],
+                    parallel_audio_feat,
+                    dropout_rate=proj_cfg.get("dropout", 0.1),
+                    rng=r_proj,
+                    train=train,
+                )
+
+        image_feat = l2_normalize(image_feat.astype(jnp.float32))
+        loss_feats: Dict[str, Any] = {"id": batch["id"], "image_feat": image_feat}
+        log_metrics: Dict[str, Any] = {}
+        if cascaded_audio_feat is not None:
+            cascaded_audio_feat = l2_normalize(cascaded_audio_feat.astype(jnp.float32))
+            loss_feats["cascaded_audio_feat"] = cascaded_audio_feat
+        if parallel_audio_feat is not None:
+            parallel_audio_feat = l2_normalize(parallel_audio_feat.astype(jnp.float32))
+            loss_feats["parallel_audio_feat"] = parallel_audio_feat
+        if self.use_cascaded:
+            log_metrics["softmax_temp"] = vq_results["temp"]
+        log_metrics["cl_temp"] = 1.0 / contrastive_temperature(
+            params["criterion"],
+            self.loss_kwargs["temperature"],
+            self.loss_kwargs["temperature_trainable"],
+        )
+        others = {
+            "cascaded_audio_feat": cascaded_audio_feat,
+            "parallel_audio_feat": parallel_audio_feat,
+            "image_feat": image_feat,
+            "id": batch["id"],
+            "vq_results": vq_results,
+            "keywords": keywords,
+        }
+        return loss_feats, log_metrics, others, new_state
+
+    # ---------------------------------------------------------------- loss
+    def compute_loss(self, params: Params, loss_feats: Dict) -> Dict:
+        """(reference compute_loss :1248-1297) — global-batch math; under
+        pjit the batch axis may be sharded and XLA gathers as needed."""
+        ms = self.config.model_settings
+        ids = loss_feats["id"]
+        image_feat = loss_feats["image_feat"].astype(jnp.float32)
+        losses = {"loss": jnp.zeros((), jnp.float32)}
+        if ms.get("cascaded_objective_weight", 0.0) > 0:
+            losses["c_cl_loss"] = masked_contrastive_loss(
+                params["criterion"],
+                loss_feats["cascaded_audio_feat"].astype(jnp.float32),
+                image_feat,
+                ids,
+                **self.loss_kwargs,
+            )
+            losses["loss"] = (
+                losses["loss"] + ms.cascaded_objective_weight * losses["c_cl_loss"]
+            )
+        if ms.get("parallel_objective_weight", 0.0) > 0:
+            losses["p_cl_loss"] = masked_contrastive_loss(
+                params["criterion"],
+                loss_feats["parallel_audio_feat"].astype(jnp.float32),
+                image_feat,
+                ids,
+                **self.loss_kwargs,
+            )
+            losses["loss"] = (
+                losses["loss"] + ms.parallel_objective_weight * losses["p_cl_loss"]
+            )
+        return losses
+
+    # ----------------------------------------------------------- inference
+    def encode_speech(
+        self,
+        params: Params,
+        state: Params,
+        wav: jnp.ndarray,
+        wav_len: jnp.ndarray,
+    ) -> Dict[str, Any]:
+        """(reference encode_speech :1299-1383)"""
+        audio_feat, audio_len = self.forward_audio(params, wav, wav_len)
+        out: Dict[str, Any] = {}
+        if self.use_cascaded:
+            feat, vq_results, keywords, _ = branches.cascaded_branch_apply(
+                params["cascaded_branch"],
+                state.get("cascaded_branch", {}),
+                self.config.model_settings.cascaded_branch,
+                params["clip"],
+                self.clip_cfg,
+                self.sot_id,
+                self.eot_id,
+                audio_feat,
+                audio_len,
+            )
+            out["cascaded_audio_feat"] = l2_normalize(feat.astype(jnp.float32))
+            out["vq_results"] = vq_results
+            out["keywords"] = keywords
+        if self.use_parallel:
+            feat = branches.parallel_branch_apply(
+                params["parallel_branch"],
+                self.config.model_settings.parallel_branch,
+                audio_feat,
+                audio_len,
+            )
+            if "p_branch_proj" in params:
+                feat = mlp_apply(params["p_branch_proj"], feat)
+            out["parallel_audio_feat"] = l2_normalize(feat.astype(jnp.float32))
+        return out
+
+    def extract_hidden_states(
+        self,
+        params: Params,
+        wav: jnp.ndarray,
+        wav_len: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+        """== feature_extractor_s3prl (reference :1214-1246): HuBERT hidden
+        states + branch hidden states (CLS stripped, first entry dropped)."""
+        audio_feat, audio_len, hidden_states = self.forward_audio(
+            params, wav, wav_len, return_hidden_states=True
+        )
+        hidden_states = tuple(hidden_states)
+        if self.use_cascaded:
+            extra = branches.cascaded_branch_hidden_states(
+                params["cascaded_branch"],
+                self.config.model_settings.cascaded_branch,
+                audio_feat,
+                audio_len,
+            )
+            hidden_states = hidden_states + tuple(extra[1:])
+        if self.use_parallel:
+            extra = branches.parallel_branch_hidden_states(
+                params["parallel_branch"],
+                self.config.model_settings.parallel_branch,
+                audio_feat,
+                audio_len,
+            )
+            hidden_states = hidden_states + tuple(extra[1:])
+        return hidden_states[-1], hidden_states
+
+    def get_attention_weights(
+        self, params: Params, wav: jnp.ndarray, wav_len: jnp.ndarray
+    ) -> jnp.ndarray:
+        """(reference get_attention_weights :1480-1496)"""
+        audio_feat, audio_len = self.forward_audio(params, wav, wav_len)
+        return branches.cascaded_branch_attention_map(
+            params["cascaded_branch"],
+            self.config.model_settings.cascaded_branch,
+            audio_feat,
+            audio_len,
+        )
+
+    # ------------------------------------------------------ trainable mask
+    def trainable_mask(self, params: Params) -> Params:
+        """Boolean pytree: True = optimized. Mirrors getTrainableParams
+        (reference :647-664, :1189-1212): branches, projections, weighted
+        sum, criterion temperature; frozen towers excluded unless configured
+        trainable."""
+        cfg = self.config
+
+        def mask_subtree(tree, value):
+            return jax.tree.map(lambda _: value, tree)
+
+        mask = {}
+        for key, sub in params.items():
+            if key == "audio_encoder":
+                mask[key] = mask_subtree(
+                    sub, bool(cfg.audio_encoder.get("trainable", False))
+                )
+            elif key == "clip":
+                img_t = bool(cfg.clip.get("image_encoder_trainable", False))
+                txt_t = bool(cfg.clip.get("text_encoder_trainable", False))
+                mask[key] = {
+                    "visual": mask_subtree(sub["visual"], img_t),
+                    "text": mask_subtree(sub["text"], txt_t),
+                    "logit_scale": False,
+                }
+            elif key == "criterion":
+                mask[key] = mask_subtree(
+                    sub, bool(self.loss_kwargs["temperature_trainable"])
+                )
+            else:
+                mask[key] = mask_subtree(sub, True)
+        return mask

@@ -1,0 +1,476 @@
+"""Model parity tests: our JAX HuBERT/CLIP vs randomly-initialized
+HuggingFace torch models (same architectures the reference loads weights
+into), plus SpeechCLIP end-to-end smoke tests."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from speechclip_tpu.config import ConfigNode
+from speechclip_tpu.convert import clip_from_hf, hubert_from_hf
+from speechclip_tpu.models import clip as clip_mod
+from speechclip_tpu.models import hubert as hubert_mod
+from speechclip_tpu.models.speechclip import SpeechCLIPModel
+
+TINY_HUBERT = hubert_mod.HubertConfig(
+    conv_layers=((16, 10, 5), (16, 3, 2), (16, 3, 2)),
+    encoder_embed_dim=32,
+    encoder_layers=2,
+    encoder_ffn_dim=64,
+    encoder_heads=4,
+    downsample_rate=20,
+)
+
+
+def make_hf_hubert(stable_layer_norm=False, feat_extract_norm="group"):
+    from transformers import HubertConfig, HubertModel
+
+    cfg = HubertConfig(
+        vocab_size=10,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        conv_dim=(16, 16, 16),
+        conv_kernel=(10, 3, 3),
+        conv_stride=(5, 2, 2),
+        feat_extract_norm=feat_extract_norm,
+        conv_bias=False,
+        do_stable_layer_norm=stable_layer_norm,
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        activation_dropout=0.0,
+        layerdrop=0.0,
+        apply_spec_augment=False,
+    )
+    torch.manual_seed(0)
+    model = HubertModel(cfg)
+    model.eval()
+    return model
+
+
+class TestHubertParity:
+    def test_post_norm_matches_hf(self):
+        model = make_hf_hubert(stable_layer_norm=False, feat_extract_norm="group")
+        wav = np.random.default_rng(0).standard_normal((2, 2000)).astype(np.float32)
+        with torch.no_grad():
+            out = model(torch.tensor(wav), output_hidden_states=True)
+        params = hubert_from_hf(
+            {k: v.numpy() for k, v in model.state_dict().items()}, TINY_HUBERT
+        )
+        hiddens, feat_len = hubert_mod.hubert_apply(
+            params,
+            TINY_HUBERT,
+            jnp.asarray(wav),
+            jnp.asarray(np.array([2000, 2000])),
+        )
+        assert len(hiddens) == len(out.hidden_states) == 3
+        for ours, theirs in zip(hiddens, out.hidden_states):
+            np.testing.assert_allclose(
+                np.asarray(ours), theirs.numpy(), atol=5e-4
+            )
+        # round(2000/20)=100 clamped to the 99 conv output frames
+        np.testing.assert_array_equal(np.asarray(feat_len), [99, 99])
+
+    def test_pre_norm_matches_hf(self):
+        model = make_hf_hubert(stable_layer_norm=True, feat_extract_norm="layer")
+        cfg = hubert_mod.HubertConfig(
+            conv_layers=((16, 10, 5), (16, 3, 2), (16, 3, 2)),
+            encoder_embed_dim=32,
+            encoder_layers=2,
+            encoder_ffn_dim=64,
+            encoder_heads=4,
+            layer_norm_first=True,
+            extractor_mode="layer_norm",
+            downsample_rate=20,
+        )
+        wav = np.random.default_rng(1).standard_normal((1, 1500)).astype(np.float32)
+        with torch.no_grad():
+            out = model(torch.tensor(wav), output_hidden_states=True)
+        params = hubert_from_hf(
+            {k: v.numpy() for k, v in model.state_dict().items()}, cfg
+        )
+        hiddens, _ = hubert_mod.hubert_apply(
+            params, cfg, jnp.asarray(wav), jnp.asarray(np.array([1500]))
+        )
+        # fairseq contract (the reference's): layer_results are UN-normed;
+        # HF's final entry has the top LayerNorm applied. Compare all but
+        # last directly, and the last after applying the encoder LN.
+        for ours, theirs in zip(hiddens[:-1], out.hidden_states[:-1]):
+            np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=5e-4)
+        from speechclip_tpu.ops.basic import layer_norm
+
+        final_ln = layer_norm(params["encoder"]["layer_norm"], hiddens[-1])
+        np.testing.assert_allclose(
+            np.asarray(final_ln), out.hidden_states[-1].numpy(), atol=5e-4
+        )
+
+    def test_batch_composition_invariance(self):
+        """At a fixed bucket length, an utterance's features must not depend
+        on what else is in the batch (masks + per-sample GroupNorm make the
+        computation batch-independent — the static-shape-bucketing
+        correctness property). NOTE: features DO legitimately depend on the
+        bucket (pad) length itself: the conv frontend's GroupNorm normalizes
+        over the padded time axis, exactly as the reference's fairseq
+        frontend does with pad-to-longest."""
+        model = make_hf_hubert()
+        params = hubert_from_hf(
+            {k: v.numpy() for k, v in model.state_dict().items()}, TINY_HUBERT
+        )
+        rng = np.random.default_rng(3)
+        wav_short = rng.standard_normal(1500).astype(np.float32)
+        other = rng.standard_normal(2500).astype(np.float32)
+        alone = np.zeros((1, 2500), np.float32)
+        alone[0, :1500] = wav_short
+        batch = np.stack([alone[0], other], axis=0)
+        h_alone, _ = hubert_mod.hubert_apply(
+            params, TINY_HUBERT, jnp.asarray(alone), jnp.asarray(np.array([1500]))
+        )
+        h_batch, _ = hubert_mod.hubert_apply(
+            params,
+            TINY_HUBERT,
+            jnp.asarray(batch),
+            jnp.asarray(np.array([1500, 2500])),
+        )
+        for a, b in zip(h_alone, h_batch):
+            np.testing.assert_allclose(
+                np.asarray(a)[0], np.asarray(b)[0], atol=1e-5
+            )
+
+
+def make_hf_clip():
+    from transformers import CLIPConfig, CLIPModel
+    from transformers import CLIPTextConfig, CLIPVisionConfig
+
+    cfg = CLIPConfig.from_text_vision_configs(
+        CLIPTextConfig(
+            vocab_size=64,
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            max_position_embeddings=77,
+            hidden_act="quick_gelu",
+            eos_token_id=63,
+            bos_token_id=62,
+            pad_token_id=0,
+        ),
+        CLIPVisionConfig(
+            image_size=32,
+            patch_size=8,
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            hidden_act="quick_gelu",
+        ),
+        projection_dim=16,
+    )
+    torch.manual_seed(1)
+    model = CLIPModel(cfg)
+    model.eval()
+    return model
+
+
+TINY_CLIP = clip_mod.CLIPConfig(
+    vision=clip_mod.CLIPVisionConfig(
+        image_size=32, patch_size=8, width=32, layers=2, heads=4, output_dim=16
+    ),
+    text=clip_mod.CLIPTextConfig(
+        vocab_size=64, width=32, layers=2, heads=4, output_dim=16
+    ),
+)
+
+
+class TestCLIPParity:
+    def test_encode_image_matches_hf(self):
+        model = make_hf_clip()
+        params = clip_from_hf(
+            {k: v.numpy() for k, v in model.state_dict().items()}, TINY_CLIP
+        )
+        images = np.random.default_rng(4).standard_normal((2, 3, 32, 32)).astype(
+            np.float32
+        )
+        with torch.no_grad():
+            feat_t = model.get_image_features(pixel_values=torch.tensor(images))
+        feat_j = clip_mod.encode_image(
+            params, TINY_CLIP, jnp.asarray(images.transpose(0, 2, 3, 1))
+        )
+        np.testing.assert_allclose(np.asarray(feat_j), feat_t.numpy(), atol=5e-4)
+
+    def test_encode_text_matches_hf(self):
+        model = make_hf_clip()
+        params = clip_from_hf(
+            {k: v.numpy() for k, v in model.state_dict().items()}, TINY_CLIP
+        )
+        rng = np.random.default_rng(5)
+        text = np.zeros((3, 77), np.int64)
+        eot_pos = []
+        for i in range(3):
+            n = rng.integers(3, 10)
+            text[i, 0] = 62
+            text[i, 1 : 1 + n] = rng.integers(1, 62, n)
+            text[i, 1 + n] = 63
+            eot_pos.append(1 + n)
+        with torch.no_grad():
+            feat_t = model.get_text_features(input_ids=torch.tensor(text))
+        feat_j = clip_mod.encode_text(
+            params, TINY_CLIP, jnp.asarray(text), jnp.asarray(np.array(eot_pos))
+        )
+        np.testing.assert_allclose(np.asarray(feat_j), feat_t.numpy(), atol=5e-4)
+
+    def test_encode_keywords_consistent_with_encode_text(self):
+        """keywords == embeddings of real tokens at positions 1..K must
+        reproduce encode_text on the [SOT, toks, EOT, 0...] buffer
+        (contract of reference clip_official.py:220-264)."""
+        model = make_hf_clip()
+        params = clip_from_hf(
+            {k: v.numpy() for k, v in model.state_dict().items()}, TINY_CLIP
+        )
+        k = 4
+        rng = np.random.default_rng(6)
+        toks = rng.integers(1, 62, (2, k))
+        text = np.zeros((2, 77), np.int64)
+        text[:, 0] = 62
+        text[:, 1 : 1 + k] = toks
+        text[:, 1 + k] = 63
+        ref = clip_mod.encode_text(
+            params, TINY_CLIP, jnp.asarray(text), jnp.full((2,), k + 1)
+        )
+        keywords = params["text"]["token_embedding"][jnp.asarray(toks)]
+        out = clip_mod.encode_keywords(
+            params, TINY_CLIP, keywords, sot_id=62, eot_id=63
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_reduced_vocab(self, tmp_path):
+        params = clip_mod.clip_init(jax.random.key(0), TINY_CLIP)
+        ids = np.array([5, 10, 20, 62, 63, 1, 0, 2, 3])
+        freq = np.arange(len(ids), 0, -1)
+        npy = tmp_path / "vocab.npy"
+        np.save(npy, np.stack([ids, freq], axis=1))
+        vocab = clip_mod.load_reduced_vocab(str(npy))
+        assert vocab.size == 9
+        reduced = clip_mod.reduce_token_embedding(params, vocab)
+        assert reduced["text"]["token_embedding"].shape[0] == 9
+        np.testing.assert_allclose(
+            np.asarray(reduced["text"]["token_embedding"][0]),
+            np.asarray(params["text"]["token_embedding"][5]),
+        )
+        mapped = vocab.map_original(np.array([62, 63, 5]))
+        np.testing.assert_array_equal(mapped, [3, 4, 0])
+        np.testing.assert_array_equal(vocab.map_reduced(mapped), [62, 63, 5])
+
+
+def tiny_speechclip_config(tmp_path, cascaded=1.0, parallel=1.0):
+    ids = np.concatenate([np.arange(0, 40), [62, 63]])
+    freq = np.arange(len(ids), 0, -1)
+    npy = tmp_path / "vocab.npy"
+    np.save(npy, np.stack([ids, freq], axis=1))
+    return ConfigNode(
+        {
+            "model_settings": {
+                "cascaded_objective_weight": cascaded,
+                "parallel_objective_weight": parallel,
+                "parallel_branch": {
+                    "transformer_type": "TransformerEncoder",
+                    "transformer_args": {
+                        "n_layers": 1,
+                        "d_model": 32,
+                        "nhead": 4,
+                        "dim_feedforward": 64,
+                        "dropout": 0.1,
+                        "activation": "gelu",
+                        "layer_norm_eps": 1e-5,
+                        "batch_first": True,
+                        "norm_first": False,
+                    },
+                    "need_projection": True,
+                },
+                "cascaded_branch": {
+                    "type": "KW_CascadedBranch",
+                    "transformer_type": "MultiheadAttentionAndNorm",
+                    "transformer_args": {
+                        "n_layers": 1,
+                        "d_model": 32,
+                        "nhead": 1,
+                        "dim_feedforward": 64,
+                        "dropout": 0.1,
+                    },
+                    "keyword": {
+                        "number": 4,
+                        "batchnorms": {
+                            "type": "eachKw",
+                            "std_scale": 1.0,
+                            "learnable": True,
+                            "parallel": True,
+                        },
+                    },
+                    "vq": {
+                        "type": "SimpleVectorQuantizer",
+                        "args": {
+                            "temp": "fixed=0.1",
+                            "time_first": True,
+                            "use_gumbel": False,
+                            "hard": True,
+                        },
+                    },
+                },
+            },
+            "cl_loss": {
+                "type": "MaskedContrastiveLoss",
+                "args": {
+                    "temperature": 0.07,
+                    "temperature_trainable": False,
+                    "margin": 0.0,
+                    "dcl": False,
+                    "a2b": True,
+                    "b2a": True,
+                },
+            },
+            "retrieval": {"audio_feat_src": "parallel", "recall_at": [1, 5, 10]},
+            "clip": {
+                "name": "ViT-B/32",
+                "image_encoder_trainable": False,
+                "text_encoder_trainable": False,
+                "reduce_subword_embbedding": str(npy),
+                "custom": {
+                    "vision": {
+                        "image_size": 32,
+                        "patch_size": 8,
+                        "width": 32,
+                        "layers": 2,
+                        "heads": 4,
+                        "output_dim": 16,
+                    },
+                    "text": {
+                        "vocab_size": 64,
+                        "width": 32,
+                        "layers": 2,
+                        "heads": 4,
+                        "output_dim": 16,
+                    },
+                },
+            },
+            "audio_encoder": {
+                "type": "FairseqHubert",
+                "name": "hubert",
+                "pretrained": False,
+                "trainable": False,
+                "feat_select_idx": "weighted_sum",
+                "layer_drop": 0.0,
+                "max_audio_len": 2000,
+                "normalize_hiddenstates": False,
+                "custom": {
+                    "conv_layers": [[16, 10, 5], [16, 3, 2], [16, 3, 2]],
+                    "encoder_embed_dim": 32,
+                    "encoder_layers": 2,
+                    "encoder_ffn_dim": 64,
+                    "encoder_heads": 4,
+                    "downsample_rate": 20,
+                },
+            },
+            "trainer": {"precision": 32},
+            "log_setting": {"log_detokenize_results": True},
+        }
+    )
+
+
+class TestSpeechCLIPModel:
+    @pytest.fixture
+    def model(self, tmp_path):
+        return SpeechCLIPModel(tiny_speechclip_config(tmp_path))
+
+    def make_batch(self, b=4):
+        rng = np.random.default_rng(7)
+        return {
+            "wav": jnp.asarray(rng.standard_normal((b, 2000)).astype(np.float32)),
+            "wav_len": jnp.asarray(
+                np.array([2000, 1500, 1000, 2000][:b])
+            ),
+            "image": jnp.asarray(
+                rng.standard_normal((b, 32, 32, 3)).astype(np.float32)
+            ),
+            "id": jnp.asarray(np.array([0, 0, 1, 2][:b])),
+        }
+
+    def test_forward_and_loss(self, model):
+        params, state = model.init(jax.random.key(0))
+        batch = self.make_batch()
+        loss_feats, log_metrics, others, new_state = model.forward(
+            params, state, batch
+        )
+        assert loss_feats["parallel_audio_feat"].shape == (4, 16)
+        assert loss_feats["cascaded_audio_feat"].shape == (4, 16)
+        assert loss_feats["image_feat"].shape == (4, 16)
+        # unit norm
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(loss_feats["image_feat"]), axis=-1),
+            1.0,
+            atol=1e-5,
+        )
+        losses = model.compute_loss(params, loss_feats)
+        assert np.isfinite(float(losses["loss"]))
+        assert "c_cl_loss" in losses and "p_cl_loss" in losses
+        assert float(log_metrics["softmax_temp"]) == pytest.approx(0.1)
+        assert float(log_metrics["cl_temp"]) == pytest.approx(0.07, rel=1e-4)
+
+    def test_train_step_gradients(self, model):
+        params, state = model.init(jax.random.key(0))
+        batch = self.make_batch()
+
+        def loss_fn(p):
+            loss_feats, _, _, new_state = model.forward(
+                p, state, batch, rng=jax.random.key(1), train=True
+            )
+            return model.compute_loss(p, loss_feats)["loss"]
+
+        grads = jax.grad(loss_fn)(params)
+        # trainable leaves get nonzero grads
+        g_ws = np.asarray(grads["weighted_sum"]["weights"])
+        assert np.abs(g_ws).sum() > 0
+        g_cls = np.asarray(grads["parallel_branch"]["cls"])
+        assert np.abs(g_cls).sum() > 0
+        g_kwcls = np.asarray(grads["cascaded_branch"]["cls"])
+        assert np.abs(g_kwcls).sum() > 0
+        # frozen towers receive zero grad via stop_gradient
+        g_hubert = jax.tree.leaves(
+            jax.tree.map(lambda x: float(jnp.abs(x).sum()), grads["audio_encoder"])
+        )
+        assert sum(g_hubert) == 0.0
+
+    def test_trainable_mask(self, model):
+        params, _ = model.init(jax.random.key(0))
+        mask = model.trainable_mask(params)
+        assert mask["weighted_sum"]["weights"] is True
+        assert mask["clip"]["logit_scale"] is False
+        leaves = jax.tree.leaves(mask["audio_encoder"])
+        assert not any(leaves)
+        leaves = jax.tree.leaves(mask["cascaded_branch"])
+        assert all(leaves)
+
+    def test_encode_speech_and_hidden_states(self, model):
+        params, state = model.init(jax.random.key(0))
+        batch = self.make_batch(2)
+        out = model.encode_speech(params, state, batch["wav"][:2], batch["wav_len"][:2])
+        assert out["parallel_audio_feat"].shape == (2, 16)
+        assert out["cascaded_audio_feat"].shape == (2, 16)
+        assert out["keywords"].shape == (2, 4, 32)
+        last, hiddens = model.extract_hidden_states(
+            params, batch["wav"][:2], batch["wav_len"][:2]
+        )
+        # 3 hubert states + 1 cascaded + 1 parallel
+        assert len(hiddens) == 5
+
+    def test_attention_weights(self, model):
+        params, state = model.init(jax.random.key(0))
+        batch = self.make_batch(2)
+        w = model.get_attention_weights(params, batch["wav"][:2], batch["wav_len"][:2])
+        # (B, H=1, K=4, T+K)
+        assert w.shape[0] == 2 and w.shape[1] == 1 and w.shape[2] == 4
+        sums = np.asarray(jnp.sum(w, axis=-1))
+        np.testing.assert_allclose(sums, 1.0, atol=1e-4)
