@@ -1,0 +1,144 @@
+"""The sharded training / validation step.
+
+Replaces the reference's Lightning DP hot loop (SURVEY.md §3.1, kwClip.py
+training_step/training_step_end): one jitted function over a device mesh —
+forward, global-batch contrastive loss (XLA all-gathers the batch-sharded
+features), backward, clip, Adam, schedule. Params and optimizer state are
+replicated over "data" (and optionally tensor-sharded over "model");
+the batch is sharded over "data".
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.speechclip import SpeechCLIPModel
+from ..parallel.mesh import param_shardings, replicated
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    model_state: Any  # kw-BN running stats etc.
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jax.Array
+
+
+def create_train_state(
+    model: SpeechCLIPModel, tx: optax.GradientTransformation, rng: jax.Array
+) -> TrainState:
+    init_rng, train_rng = jax.random.split(rng)
+    params, model_state = model.init(init_rng)
+    return TrainState(
+        params=params,
+        model_state=model_state,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        rng=train_rng,
+    )
+
+
+def make_train_step(model: SpeechCLIPModel, tx: optax.GradientTransformation):
+    """-> train_step(state, batch) -> (state, metrics). Pure; jit outside."""
+
+    def train_step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+        rng, step_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            loss_feats, log_metrics, _, new_model_state = model.forward(
+                params,
+                state.model_state,
+                batch,
+                rng=step_rng,
+                train=True,
+                num_updates=state.step,
+            )
+            losses = model.compute_loss(params, loss_feats)
+            return losses["loss"], (losses, log_metrics, new_model_state)
+
+        (loss, (losses, log_metrics, new_model_state)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            **{f"train_{k}": v for k, v in losses.items()},
+            **{f"train_{k}": v for k, v in log_metrics.items()},
+            "grad_norm": optax.global_norm(grads),
+        }
+        new_state = TrainState(
+            params=new_params,
+            model_state=new_model_state,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: SpeechCLIPModel):
+    """-> eval_step(state, batch) -> features + losses for the retrieval
+    epoch logic (reference validation_step :193-230)."""
+
+    audio_src = model.config.get_path("retrieval.audio_feat_src", "parallel")
+
+    def eval_step(state: TrainState, batch: Dict) -> Dict:
+        loss_feats, log_metrics, others, _ = model.forward(
+            state.params, state.model_state, batch, train=False
+        )
+        losses = model.compute_loss(state.params, loss_feats)
+        audio_feat = (
+            others["cascaded_audio_feat"]
+            if audio_src == "cascaded"
+            else others["parallel_audio_feat"]
+        )
+        out = {
+            "id": batch["id"],
+            "audio_feat": audio_feat,
+            "image_feat": others["image_feat"],
+            "metrics": {
+                **{f"val_{k}": v for k, v in losses.items()},
+                **{f"val_{k}": v for k, v in log_metrics.items()},
+            },
+        }
+        if others.get("keywords") is not None:
+            out["keywords"] = others["keywords"]
+        return out
+
+    return eval_step
+
+
+def place_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place the train state on the mesh: params tensor-sharded over "model"
+    where profitable (frozen towers), everything else replicated. Optimizer
+    moments exist only for the (small, replicated) trainable params —
+    multi_transform's set_to_zero branch keeps none for the towers."""
+    return TrainState(
+        params=jax.device_put(state.params, param_shardings(state.params, mesh)),
+        model_state=jax.device_put(state.model_state, replicated(mesh)),
+        opt_state=jax.device_put(state.opt_state, replicated(mesh)),
+        step=jax.device_put(state.step, replicated(mesh)),
+        rng=jax.device_put(state.rng, replicated(mesh)),
+    )
+
+
+def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+    sharding = NamedSharding(mesh, P("data"))
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def jit_train_step(train_step, donate: bool = True):
+    """jit; shardings propagate from the placed state/batch (computation
+    follows data)."""
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
