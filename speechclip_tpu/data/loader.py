@@ -1,0 +1,174 @@
+"""Bucketed batch loader.
+
+Replaces the reference's DataLoader + pad-to-longest collate
+(avssl/data/collate_function.py, SURVEY.md §2.6 sequence-length row) with
+XLA-friendly STATIC shapes:
+
+- every batch's waveform buffer is one of a small fixed set of bucket
+  lengths (multiples of the 320x HuBERT downsampling keep frame counts
+  aligned), so jit compiles once per bucket instead of once per batch;
+- train mode random-crops to max_audio_len first (the reference does this
+  inside the encoder, speech_encoder_plus.py:548-552), then buckets;
+- samples are decoded in a thread pool and assembled into pinned numpy
+  buffers; lengths ride along for masking.
+
+Length bucketing does not change masked-attention semantics; features can
+shift slightly vs pad-to-longest only through the conv frontend's GroupNorm
+over the padded time axis, a property the reference shares batch-to-batch
+(documented in tests/test_models.py::test_batch_composition_invariance).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import math
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .audio import random_crop_max_length
+
+
+def make_buckets(
+    lengths: Sequence[int],
+    max_len: Optional[int] = None,
+    num_buckets: int = 4,
+    multiple: int = 3200,
+) -> List[int]:
+    """Quantile-based bucket boundaries rounded up to `multiple` (0.2 s)."""
+    arr = np.asarray(lengths)
+    if max_len:
+        arr = np.minimum(arr, max_len)
+    qs = np.quantile(arr, np.linspace(1.0 / num_buckets, 1.0, num_buckets))
+    buckets = sorted(
+        {int(math.ceil(q / multiple) * multiple) for q in qs}
+    )
+    return buckets
+
+
+def bucket_for(length: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if length <= b:
+            return b
+    return buckets[-1]
+
+
+class BucketedLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        buckets: Optional[Sequence[int]] = None,
+        max_audio_len: int = -1,
+        train: bool = False,
+        seed: int = 7122,
+        num_workers: int = 8,
+        drop_last: Optional[bool] = None,
+        num_bucket_groups: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.train = train
+        self.max_audio_len = max_audio_len if train else -1
+        self.seed = seed
+        self.num_workers = num_workers
+        self.drop_last = train if drop_last is None else drop_last
+        self.epoch = 0
+
+        self._lengths = np.array(
+            [dataset.wav_length(i) for i in range(len(dataset))]
+        )
+        if buckets is None:
+            buckets = make_buckets(
+                self._lengths,
+                max_len=self.max_audio_len if self.max_audio_len > 0 else None,
+                num_buckets=num_bucket_groups,
+            )
+        self.buckets = list(buckets)
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            n = 0
+            for b in self.buckets:
+                n += self._bucket_indices(b).size // self.batch_size
+            return n
+        return sum(
+            -(-self._bucket_indices(b).size // self.batch_size)
+            for b in self.buckets
+        )
+
+    def _effective_length(self, i: int) -> int:
+        l = int(self._lengths[i])
+        if self.max_audio_len > 0:
+            l = min(l, self.max_audio_len)
+        return l
+
+    def _bucket_indices(self, bucket: int) -> np.ndarray:
+        out = [
+            i
+            for i in range(len(self.dataset))
+            if bucket_for(self._effective_length(i), self.buckets) == bucket
+        ]
+        return np.asarray(out, dtype=np.int64)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed + self.epoch)
+        self.epoch += 1
+
+        plans = []  # (bucket_len, indices)
+        for b in self.buckets:
+            idx = self._bucket_indices(b)
+            if self.train:
+                rng.shuffle(idx)
+            for s in range(0, len(idx), self.batch_size):
+                chunk = idx[s : s + self.batch_size]
+                if len(chunk) < self.batch_size and self.drop_last:
+                    continue
+                plans.append((b, chunk))
+        if self.train:
+            rng.shuffle(plans)
+
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            # double-buffer: assemble batch k+1 while k is consumed
+            pending = None
+            for plan in plans:
+                fut = pool.submit(self._assemble, plan, rng)
+                if pending is not None:
+                    yield pending.result()
+                pending = fut
+            if pending is not None:
+                yield pending.result()
+
+    def _assemble(self, plan, rng) -> Dict[str, np.ndarray]:
+        bucket_len, indices = plan
+        samples = [self.dataset[int(i)] for i in indices]
+        n = len(samples)
+        batch: Dict[str, np.ndarray] = {
+            "wav": np.zeros((n, bucket_len), np.float32),
+            "wav_len": np.zeros((n,), np.int32),
+            "id": np.zeros((n,), np.int64),
+        }
+        has_image = "image" in samples[0]
+        has_text = "text" in samples[0] and not isinstance(
+            samples[0]["text"], str
+        )
+        if has_image:
+            img0 = samples[0]["image"]
+            batch["image"] = np.zeros((n,) + img0.shape, np.float32)
+        if has_text:
+            batch["text"] = np.zeros(
+                (n,) + samples[0]["text"].shape, np.int64
+            )
+        for j, s in enumerate(samples):
+            wav = s["wav"]
+            if self.train and self.max_audio_len > 0:
+                wav = random_crop_max_length(wav, self.max_audio_len, rng=rng)
+            wav = wav[:bucket_len]
+            batch["wav"][j, : len(wav)] = wav
+            batch["wav_len"][j] = len(wav)
+            batch["id"][j] = s["id"]
+            if has_image:
+                batch["image"][j] = s["image"]
+            if has_text:
+                batch["text"][j] = s["text"]
+        return batch

@@ -1,0 +1,179 @@
+"""Data layer tests over a synthetic on-disk Flickr8k/SpokenCOCO corpus
+(the reference's dataset tests were hard-coded to a cluster path —
+SURVEY.md §4; here the corpus is generated into tmp)."""
+
+import json
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from speechclip_tpu.data import (
+    BucketedLoader,
+    FlickrDataset,
+    SpokenCOCODataset,
+    load_image,
+    make_buckets,
+    read_wav,
+    wav_num_samples,
+)
+
+
+def write_wav(path, n_samples, sr=16000, seed=0):
+    rng = np.random.default_rng(seed)
+    data = (rng.standard_normal(n_samples) * 8000).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(data.tobytes())
+    return data.astype(np.float32) / 32768.0
+
+
+def write_jpg(path, size=64, seed=0):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(str(path), quality=95)
+
+
+@pytest.fixture(scope="module")
+def flickr_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("flickr")
+    (root / "flickr_audio" / "wavs").mkdir(parents=True)
+    (root / "Images").mkdir()
+    images = [f"img{i:04d}" for i in range(6)]
+    lengths = {}
+    captions = []
+    for i, name in enumerate(images):
+        write_jpg(root / "Images" / f"{name}.jpg", seed=i)
+        for n in range(3):  # 3 wavs per image
+            ln = 4000 + 3000 * n + i * 100
+            write_wav(
+                root / "flickr_audio" / "wavs" / f"{name}_{n}.wav", ln, seed=i * 10 + n
+            )
+            lengths[(name, n)] = ln
+            captions.append(f"{name}.jpg#{n}\ta photo of thing {i} number {n} .")
+    (root / "Flickr8k.token.txt").write_text("\n".join(captions))
+    (root / "Flickr_8k.trainImages.txt").write_text(
+        "\n".join(f"{n}.jpg" for n in images[:4])
+    )
+    (root / "Flickr_8k.devImages.txt").write_text(
+        "\n".join(f"{n}.jpg" for n in images[4:])
+    )
+    return root
+
+
+class TestAudioIO:
+    def test_read_wav_roundtrip(self, tmp_path):
+        data = write_wav(tmp_path / "a.wav", 5000, seed=1)
+        wav = read_wav(str(tmp_path / "a.wav"))
+        np.testing.assert_allclose(wav, data, atol=1e-6)
+        assert wav_num_samples(str(tmp_path / "a.wav")) == 5000
+
+    def test_resample(self, tmp_path):
+        write_wav(tmp_path / "b.wav", 8000, sr=8000, seed=2)
+        wav = read_wav(str(tmp_path / "b.wav"), target_sr=16000)
+        assert abs(len(wav) - 16000) <= 2
+        assert wav_num_samples(str(tmp_path / "b.wav"), 16000) == 16000
+
+
+class TestFlickr:
+    def test_split_and_pairing(self, flickr_root):
+        ds = FlickrDataset(
+            str(flickr_root), ["audio", "image", "text"], split="train"
+        )
+        # 4 images x 3 wavs
+        assert len(ds) == 12
+        sample = ds[0]
+        assert sample["wav"].ndim == 1
+        assert sample["image"].shape == (224, 224, 3)
+        assert isinstance(sample["text"], str)
+        # all 3 wavs of one image share its pair id
+        ids = [ds.data[i]["id"] for i in range(3)]
+        assert len(set(ids)) == 1
+        # id pairs json generated
+        assert (flickr_root / "Flickr8k_idPairs.json").exists()
+
+    def test_dev_split(self, flickr_root):
+        ds = FlickrDataset(str(flickr_root), ["audio", "image"], split="dev")
+        assert len(ds) == 6
+
+    def test_caption_indexing_matches_wav_subid(self, flickr_root):
+        ds = FlickrDataset(
+            str(flickr_root), ["audio", "text"], split="train"
+        )
+        for e in ds.data:
+            sub = int(os.path.basename(e["wav"]).split("_")[-1][:-4])
+            assert f"number {sub}" in e["text"]
+
+
+class TestCoco:
+    def test_ksplit_and_default(self, tmp_path):
+        root = tmp_path / "coco"
+        (root / "SpokenCOCO" / "wavs").mkdir(parents=True)
+        (root / "mscoco_img").mkdir()
+        write_jpg(root / "mscoco_img" / "COCO_val_000000000042.jpg", seed=3)
+        write_wav(root / "SpokenCOCO" / "wavs" / "a.wav", 4000, seed=4)
+        payload = {
+            "data": [
+                {
+                    "image": "COCO_val_000000000042.jpg",
+                    "reassign_id": 7,
+                    "captions": [
+                        {"wav": "wavs/a.wav", "text": "A duck."},
+                    ],
+                }
+            ]
+        }
+        for prefix in ("SpokenCOCO", "SpokenCOCO_ksplit"):
+            with open(root / "SpokenCOCO" / f"{prefix}_val.json", "w") as f:
+                json.dump(payload, f)
+        ds = SpokenCOCODataset(
+            str(root), ["audio", "image", "text"], split="val",
+            split_prefix="SpokenCOCO_ksplit",
+        )
+        assert len(ds) == 1 and ds.data[0]["id"] == 7
+        ds2 = SpokenCOCODataset(
+            str(root), ["audio", "image", "text"], split="val"
+        )
+        assert ds2.data[0]["id"] == 42  # parsed from filename
+        assert ds2.data[0]["text"] == "a duck."
+
+
+class TestLoader:
+    def test_static_bucket_shapes(self, flickr_root):
+        ds = FlickrDataset(str(flickr_root), ["audio", "image"], split="train")
+        loader = BucketedLoader(
+            ds, batch_size=4, train=True, max_audio_len=8000, seed=1,
+            num_workers=2,
+        )
+        seen_shapes = set()
+        total = 0
+        for batch in loader:
+            assert batch["wav"].shape[0] == 4
+            assert batch["wav"].shape[1] in loader.buckets
+            assert batch["image"].shape == (4, 224, 224, 3)
+            assert (batch["wav_len"] <= batch["wav"].shape[1]).all()
+            # padding is zero beyond wav_len
+            for j in range(4):
+                assert np.all(batch["wav"][j, batch["wav_len"][j]:] == 0)
+            seen_shapes.add(batch["wav"].shape)
+            total += batch["wav"].shape[0]
+        assert total > 0
+        assert len(seen_shapes) <= len(loader.buckets)
+
+    def test_eval_keeps_all_samples(self, flickr_root):
+        ds = FlickrDataset(str(flickr_root), ["audio", "image"], split="dev")
+        loader = BucketedLoader(ds, batch_size=4, train=False, num_workers=2)
+        total = sum(b["wav"].shape[0] for b in loader)
+        assert total == len(ds)
+        assert len(loader) >= 2
+
+    def test_make_buckets_multiples(self):
+        lengths = np.random.default_rng(0).integers(1000, 100000, 500)
+        buckets = make_buckets(lengths, max_len=102400)
+        assert all(b % 3200 == 0 for b in buckets)
+        assert max(lengths.clip(max=102400)) <= max(buckets)
