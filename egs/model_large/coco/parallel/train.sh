@@ -1,0 +1,10 @@
+#!/bin/bash
+# Train recipe — pins config, seed and device count
+# (capability of the reference's egs/model_large/coco/parallel/train.sh).
+set -e
+cd "$(dirname "$0")/../../../.."
+python3 run_task.py TrainKWClip_GeneralTransformer \
+    --config configs/large_coco/spchclp_p.yaml \
+    --devices 4 \
+    --seed 7122 \
+    --train "$@"

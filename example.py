@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Embedding-extraction example (reference example.py:1-40 contract):
+
+load a checkpoint, extract per-layer hidden states and speech embeddings
+for a list of waveforms.
+
+  python3 example.py --ckpt exp/run/ckpts/last [--wav path.wav ...]
+"""
+
+import argparse
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ckpt", required=True, help="checkpoint dir or reference .ckpt")
+    parser.add_argument("--wav", nargs="*", default=[], help="wav files (random if none)")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from speechclip_tpu.models.speechclip import SpeechCLIPModel
+    from speechclip_tpu.data import read_wav
+
+    if args.ckpt.endswith(".ckpt"):  # reference Lightning checkpoint
+        from speechclip_tpu.convert import load_reference_checkpoint
+
+        params, model_state, config = load_reference_checkpoint(args.ckpt)
+        model = SpeechCLIPModel(config)
+    else:
+        from speechclip_tpu.config import load_config
+        from speechclip_tpu.training.checkpoint import load_config_from_checkpoint
+        from speechclip_tpu.training.optim import build_optimizer
+        from speechclip_tpu.training.train_step import create_train_state
+
+        config = load_config_from_checkpoint(args.ckpt)
+        model = SpeechCLIPModel(config)
+        import orbax.checkpoint as ocp
+
+        tx, _ = build_optimizer(
+            config, model.trainable_mask(model.init(jax.random.key(0))[0])
+        )
+        state = create_train_state(model, tx, jax.random.key(0))
+        import os
+
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.join(args.ckpt, "state"), state
+        )
+        params, model_state = restored.params, restored.model_state
+
+    if args.wav:
+        wavs = [read_wav(p) for p in args.wav]
+    else:
+        rng = np.random.default_rng(0)
+        wavs = [rng.standard_normal(16000 * 2).astype(np.float32) for _ in range(2)]
+
+    max_len = max(len(w) for w in wavs)
+    wav = np.zeros((len(wavs), max_len), np.float32)
+    wav_len = np.array([len(w) for w in wavs])
+    for i, w in enumerate(wavs):
+        wav[i, : len(w)] = w
+    wav, wav_len = jnp.asarray(wav), jnp.asarray(wav_len)
+
+    # reference model.feature_extractor_s3prl(wav=...)
+    last_hidden, hidden_states = model.extract_hidden_states(params, wav, wav_len)
+    print(f"#hidden states: {len(hidden_states)}")
+    print(f"last hidden state shape: {last_hidden.shape}")
+
+    # reference model.encode_speech(wav=...)
+    output = model.encode_speech(params, model_state, wav, wav_len)
+    for key in ("parallel_audio_feat", "cascaded_audio_feat"):
+        if key in output:
+            print(f"{key}: {output[key].shape}")
+    if "keywords" in output:
+        print(f"keywords: {output['keywords'].shape}")
+
+
+if __name__ == "__main__":
+    main()

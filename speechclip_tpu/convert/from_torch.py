@@ -250,6 +250,45 @@ def clip_from_openai(sd: Mapping, cfg: CLIPConfig) -> Dict:
     }
 
 
+def load_hubert_checkpoint(path: str, cfg: HubertConfig) -> Dict:
+    """Load a HuBERT checkpoint file: fairseq .pt ({"model": sd, "cfg": ...},
+    the files the reference downloads, speech_encoder_plus.py:327-331) or a
+    HF transformers state dict; format detected by key names."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt.get("state_dict", ckpt))
+    sd = {k: v.detach().numpy() if hasattr(v, "detach") else v for k, v in sd.items()}
+    if any(k.startswith("feature_extractor.conv_layers.0.0.") for k in sd):
+        return hubert_from_fairseq(sd, cfg)
+    if any(k.startswith("feature_extractor.conv_layers.0.conv.") for k in sd):
+        return hubert_from_hf(sd, cfg)
+    # HF full-model dumps prefix with "hubert."
+    stripped = {k[len("hubert."):]: v for k, v in sd.items() if k.startswith("hubert.")}
+    if stripped:
+        return hubert_from_hf(stripped, cfg)
+    raise ValueError(f"unrecognized HuBERT state dict format in {path}")
+
+
+def load_clip_checkpoint(path: str, cfg: CLIPConfig) -> Dict:
+    """Load a CLIP checkpoint: OpenAI TorchScript .pt (what clip.load
+    fetches, reference clip_official.py:50) or an HF CLIPModel state dict."""
+    import torch
+
+    try:
+        jit_model = torch.jit.load(path, map_location="cpu")
+        sd = {k: v for k, v in jit_model.state_dict().items()}
+    except RuntimeError:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        sd = ckpt.get("state_dict", ckpt)
+    sd = {k: v.detach().float().numpy() if hasattr(v, "detach") else v for k, v in sd.items()}
+    if "visual.conv1.weight" in sd:
+        return clip_from_openai(sd, cfg)
+    if "vision_model.embeddings.patch_embedding.weight" in sd:
+        return clip_from_hf(sd, cfg)
+    raise ValueError(f"unrecognized CLIP state dict format in {path}")
+
+
 def _hf_clip_block(sd: Mapping, prefix: str) -> Dict:
     return {
         "attn": _mha_from_qkv(sd, f"{prefix}.self_attn"),

@@ -1,0 +1,82 @@
+"""Subword-usage statistics for the reduced-vocabulary mode.
+
+Capability equivalent of the reference's offline stat scripts
+(avssl/data/{flickr,coco}_stat/stat_textCLIP_input.py, SURVEY.md §2.4):
+tokenize every caption in the corpus, count subword frequencies, and save
+``(token_id, count)`` npy tables sorted by frequency and by id — the files
+``clip.reduce_subword_embbedding`` consumes. SOT/EOT are always included
+(every tokenized caption contains them, as in the reference).
+
+Usage:
+  python -m speechclip_tpu.data.vocab_stats --dataset flickr \
+      --dataset_root data/flickr --output_dir assets/flickr_stat
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from collections import Counter
+from typing import Iterable
+
+import numpy as np
+
+
+def compute_vocab_usage(texts: Iterable[str], tokenizer) -> np.ndarray:
+    """-> (V_used, 2) int64 [token_id, count], unsorted."""
+    counter: Counter = Counter()
+    for text in texts:
+        ids = tokenizer.tokenize(text)[0]
+        counter.update(int(i) for i in ids if i != 0)
+    data = np.array(sorted(counter.items()), dtype=np.int64)
+    return data
+
+
+def save_vocab_usage(data: np.ndarray, output_dir: str) -> None:
+    os.makedirs(output_dir, exist_ok=True)
+    by_id = data[np.argsort(data[:, 0])]
+    by_freq = data[np.argsort(-data[:, 1], kind="stable")]
+    np.save(os.path.join(output_dir, "text_clip_vocab_usage_byID.npy"), by_id)
+    np.save(
+        os.path.join(output_dir, "text_clip_vocab_usage_byfreq.npy"), by_freq
+    )
+    for name, arr in [("byID", by_id), ("byfreq", by_freq)]:
+        with open(
+            os.path.join(output_dir, f"text_clip_vocab_usage_{name}.txt"), "w"
+        ) as f:
+            for tok_id, count in arr:
+                f.write(f"{tok_id} {count}\n")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", choices=["flickr", "coco"], required=True)
+    parser.add_argument("--dataset_root", required=True)
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--split_prefix", default="SpokenCOCO")
+    parser.add_argument("--bpe_path", default=None)
+    args = parser.parse_args()
+
+    from ..models.tokenizer import CLIPTokenizer
+    from .datasets import FlickrDataset, SpokenCOCODataset
+
+    tokenizer = CLIPTokenizer(args.bpe_path)
+    texts = []
+    if args.dataset == "flickr":
+        for split in ("train", "dev", "test"):
+            ds = FlickrDataset(args.dataset_root, ["text"], split=split)
+            texts += [e["text"] for e in ds.data]
+    else:
+        for split in ("train", "val", "test"):
+            ds = SpokenCOCODataset(
+                args.dataset_root, ["text"], split=split,
+                split_prefix=args.split_prefix,
+            )
+            texts += [e["text"] for e in ds.data]
+    data = compute_vocab_usage(texts, tokenizer)
+    save_vocab_usage(data, args.output_dir)
+    print(f"saved vocab usage for {len(data)} subwords to {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -160,6 +160,7 @@ def cascaded_branch_apply(
         kpm,
         rng=r_tr,
         train=train,
+        key_valid_lens=audio_len + kw_num,
     )
     keywords = out[:, :kw_num]
     keywords = _project_keywords(params, branch_cfg, keywords, r_proj, train)
@@ -299,6 +300,7 @@ def parallel_branch_apply(
         kpm,
         rng=rng,
         train=train,
+        key_valid_lens=audio_len + 1,
     )
     out = out[:, 0]
     if "proj" in params:

@@ -175,15 +175,16 @@ def _resblock(
     params: Params,
     x: jnp.ndarray,
     heads: int,
-    attn_bias: Optional[jnp.ndarray],
+    causal: bool,
 ) -> jnp.ndarray:
+    normed = layer_norm(params["ln_1"], x)
     h, _ = multi_head_attention(
         params["attn"],
-        layer_norm(params["ln_1"], x),
-        layer_norm(params["ln_1"], x),
-        layer_norm(params["ln_1"], x),
+        normed,
+        normed,
+        normed,
         num_heads=heads,
-        attn_mask=attn_bias,
+        causal=causal,
     )
     x = x + h
     y = layer_norm(params["ln_2"], x)
@@ -215,7 +216,7 @@ def encode_image(
     x = x + params["visual"]["positional_embedding"].astype(x.dtype)
     x = layer_norm(params["visual"]["ln_pre"], x)
     for block in params["visual"]["blocks"]:
-        x = _resblock(block, x, v.heads, None)
+        x = _resblock(block, x, v.heads, False)
     x = layer_norm(params["visual"]["ln_post"], x[:, 0])
     return (x @ params["visual"]["proj"].astype(x.dtype))
 
@@ -223,9 +224,8 @@ def encode_image(
 def _text_transformer(
     params: Params, cfg: CLIPConfig, x: jnp.ndarray
 ) -> jnp.ndarray:
-    bias = causal_bias(x.shape[1])
     for block in params["text"]["blocks"]:
-        x = _resblock(block, x, cfg.text.heads, bias)
+        x = _resblock(block, x, cfg.text.heads, True)
     return x
 
 

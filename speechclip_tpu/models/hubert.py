@@ -235,6 +235,7 @@ def encoder_layer_apply(
     kpm: Optional[jnp.ndarray],
     rng: Optional[jax.Array],
     train: bool,
+    frame_lens: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """fairseq TransformerSentenceEncoderLayer (post- or pre-norm)."""
     if rng is not None:
@@ -250,6 +251,7 @@ def encoder_layer_apply(
             h,
             num_heads=cfg.encoder_heads,
             key_padding_mask=kpm,
+            key_valid_lens=frame_lens,
             dropout_rate=cfg.attention_dropout,
             rng=r_attn,
             train=train,
@@ -325,7 +327,9 @@ def hubert_apply(
     else:
         layer_rngs = [None] * (2 * n_layers)
     for i, layer in enumerate(params["encoder"]["layers"]):
-        y = encoder_layer_apply(layer, cfg, x, kpm, layer_rngs[2 * i], train)
+        y = encoder_layer_apply(
+            layer, cfg, x, kpm, layer_rngs[2 * i], train, frame_lens=frame_lens
+        )
         if train and cfg.layerdrop > 0 and layer_rngs[2 * i + 1] is not None:
             keep = jax.random.bernoulli(
                 layer_rngs[2 * i + 1], 1.0 - cfg.layerdrop

@@ -175,6 +175,45 @@ class SpeechCLIPModel:
                 params[key] = mlp_init(keys[4], proj_cfg.dimensions)
         return params, state
 
+    def load_pretrained(self, params: Params) -> Params:
+        """Swap the randomly-initialized frozen towers for converted
+        pretrained weights when checkpoint files are configured
+        (audio_encoder.pretrained_path / clip.pretrained_path — the offline
+        analogue of the reference's URL downloads). Missing files log a
+        warning and leave the random weights (useful for smoke tests)."""
+        import logging
+        import os
+
+        log = logging.getLogger(__name__)
+        params = dict(params)
+        ae_path = self.config.audio_encoder.get("pretrained_path")
+        if self.config.audio_encoder.get("pretrained", False) and ae_path:
+            if os.path.exists(ae_path):
+                from ..convert.from_torch import load_hubert_checkpoint
+
+                params["audio_encoder"] = load_hubert_checkpoint(
+                    ae_path, self.audio_cfg
+                )
+                log.info("loaded HuBERT weights from %s", ae_path)
+            else:
+                log.warning("HuBERT checkpoint %s not found; random init", ae_path)
+        clip_path = self.config.clip.get("pretrained_path")
+        if clip_path:
+            if os.path.exists(clip_path):
+                from ..convert.from_torch import load_clip_checkpoint
+                from .clip import reduce_token_embedding
+
+                clip_params = load_clip_checkpoint(clip_path, self.clip_cfg)
+                if self.reduced_vocab is not None:
+                    clip_params = reduce_token_embedding(
+                        clip_params, self.reduced_vocab
+                    )
+                params["clip"] = clip_params
+                log.info("loaded CLIP weights from %s", clip_path)
+            else:
+                log.warning("CLIP checkpoint %s not found; random init", clip_path)
+        return params
+
     # ------------------------------------------------------- audio encoding
     def forward_audio(
         self,

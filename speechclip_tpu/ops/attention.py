@@ -73,13 +73,19 @@ def sdpa_xla(
     return out, (weights if return_weights else None)
 
 
-def _sdpa(q, k, v, bias, return_weights):
-    if _ATTENTION_BACKEND == "pallas" and not return_weights:
-        from ..kernels.flash_attention import flash_attention_supported, flash_mha
+def _flash_eligible(attn_mask, key_padding_mask, key_valid_lens, causal) -> bool:
+    if _ATTENTION_BACKEND != "pallas":
+        return False
+    if attn_mask is not None and not causal:
+        return False  # arbitrary additive masks stay on the XLA path
+    if key_padding_mask is not None and key_valid_lens is None:
+        return False  # unstructured padding mask
+    try:
+        import jax as _jax
 
-        if flash_attention_supported(q, k, v, bias):
-            return flash_mha(q, k, v, bias), None
-    return sdpa_xla(q, k, v, bias, return_weights)
+        return _jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 def padding_bias(
@@ -145,6 +151,8 @@ def multi_head_attention(
     num_heads: int,
     key_padding_mask: Optional[jnp.ndarray] = None,  # (B, S) True = pad
     attn_mask: Optional[jnp.ndarray] = None,  # (L, S)
+    key_valid_lens: Optional[jnp.ndarray] = None,  # (B,) structured mask
+    causal: bool = False,
     dropout_rate: float = 0.0,
     rng: Optional[jax.Array] = None,
     train: bool = False,
@@ -152,6 +160,11 @@ def multi_head_attention(
     average_attn_weights: bool = True,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """torch-parity MHA forward.
+
+    Masks: either a bool key_padding_mask / additive attn_mask (general XLA
+    path) or structured key_valid_lens / causal (eligible for the Pallas
+    flash kernel when the backend is "pallas" on TPU). When key_valid_lens
+    is given, key_padding_mask may be omitted.
 
     Returns (output (B, L, D), weights) where weights is (B, L, S) if
     averaged over heads else (B, H, L, S) — matching
@@ -173,8 +186,23 @@ def multi_head_attention(
     k = _split_heads(proj(key, wk, bk), num_heads)
     v = _split_heads(proj(value, wv, bv), num_heads)
 
+    want_weights = need_weights or (train and dropout_rate > 0)
+    if not want_weights and _flash_eligible(
+        attn_mask, key_padding_mask, key_valid_lens, causal
+    ):
+        from ..kernels.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v, key_valid_lens, causal)
+        out = _merge_heads(out)
+        return linear(params["out_proj"], out), None
+
+    if key_padding_mask is None and key_valid_lens is not None:
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, key.shape[1]), 1)
+        key_padding_mask = pos >= key_valid_lens.astype(jnp.int32)[:, None]
+    if causal and attn_mask is None:
+        attn_mask = causal_bias(key.shape[1])[: query.shape[1]]
     bias = padding_bias(key_padding_mask, attn_mask)
-    out, weights = _sdpa(q, k, v, bias, need_weights or (train and dropout_rate > 0))
+    out, weights = sdpa_xla(q, k, v, bias, want_weights)
 
     if train and dropout_rate > 0.0:
         # torch applies dropout to attention weights; redo the weighted sum.

@@ -54,6 +54,7 @@ def encoder_layer_apply(
     *,
     nhead: int,
     key_padding_mask: Optional[jnp.ndarray] = None,
+    key_valid_lens: Optional[jnp.ndarray] = None,
     dropout_rate: float = 0.0,
     activation: str = "gelu",
     layer_norm_eps: float = 1e-5,
@@ -75,6 +76,7 @@ def encoder_layer_apply(
             h,
             num_heads=nhead,
             key_padding_mask=key_padding_mask,
+            key_valid_lens=key_valid_lens,
             dropout_rate=dropout_rate,
             rng=r_attn,
             train=train,
@@ -120,6 +122,7 @@ def transformer_encoder_apply(
     *,
     nhead: int,
     key_padding_mask: Optional[jnp.ndarray] = None,
+    key_valid_lens: Optional[jnp.ndarray] = None,
     dropout_rate: float = 0.0,
     activation: str = "gelu",
     layer_norm_eps: float = 1e-5,
@@ -145,6 +148,7 @@ def transformer_encoder_apply(
             x,
             nhead=nhead,
             key_padding_mask=key_padding_mask,
+            key_valid_lens=key_valid_lens,
             dropout_rate=dropout_rate,
             activation=activation,
             layer_norm_eps=layer_norm_eps,
@@ -173,6 +177,7 @@ def mha_and_norm_apply(
     *,
     nhead: int,
     key_padding_mask: Optional[jnp.ndarray] = None,
+    key_valid_lens: Optional[jnp.ndarray] = None,
     dropout_rate: float = 0.0,
     layer_norm_eps: float = 1e-5,
     rng: Optional[jax.Array] = None,
@@ -189,6 +194,7 @@ def mha_and_norm_apply(
         src,
         num_heads=nhead,
         key_padding_mask=key_padding_mask,
+        key_valid_lens=key_valid_lens,
         dropout_rate=dropout_rate,
         rng=rng,
         train=train,
@@ -220,6 +226,7 @@ def branch_transformer_apply(
     key_padding_mask: Optional[jnp.ndarray],
     rng: Optional[jax.Array] = None,
     train: bool = False,
+    key_valid_lens: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     if transformer_type == "TransformerEncoder":
         out, _ = transformer_encoder_apply(
@@ -227,6 +234,7 @@ def branch_transformer_apply(
             src,
             nhead=args["nhead"],
             key_padding_mask=key_padding_mask,
+            key_valid_lens=key_valid_lens,
             dropout_rate=args.get("dropout", 0.0),
             activation=args.get("activation", "gelu"),
             layer_norm_eps=args.get("layer_norm_eps", 1e-5),
@@ -241,6 +249,7 @@ def branch_transformer_apply(
             src,
             nhead=args["nhead"],
             key_padding_mask=key_padding_mask,
+            key_valid_lens=key_valid_lens,
             dropout_rate=args.get("dropout", 0.0),
             layer_norm_eps=args.get("layer_norm_eps", 1e-5),
             rng=rng,

@@ -1,0 +1,119 @@
+"""Train/eval task for the SpeechCLIP model.
+
+Equivalent of the reference TrainKWClip_GeneralTransformer +
+TrainSpeechClipBaseTask.run (avssl/task/train_KWClip.py:71-100,
+base_task.py:35-245): config assembly (fresh YAML, or from checkpoint for
+--resume/--test with CLI overrides re-applied), dataset_root override,
+trainer construction, fit/validate dispatch.
+
+Checkpoint sources accepted by --resume/--ckpt:
+- our orbax run dirs (config.yaml rides alongside);
+- a reference Lightning .ckpt (converted on the fly,
+  speechclip_tpu.convert.reference_ckpt).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+
+from ..config import ConfigNode, load_config
+from ..training.checkpoint import load_config_from_checkpoint
+from ..training.logging import set_logging
+from ..training.trainer import Trainer
+from .base_task import BaseTask
+
+logger = logging.getLogger(__name__)
+
+
+def _seed_everything(seed: int):
+    import random
+
+    import numpy as np
+
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def _build_tokenizer(config):
+    try:
+        from ..models.tokenizer import CLIPTokenizer
+
+        return CLIPTokenizer()
+    except FileNotFoundError:
+        logger.warning(
+            "CLIP BPE merges file not found (SPEECHCLIP_BPE_PATH); text "
+            "tokenization and keyword diagnostics disabled"
+        )
+        return None
+
+
+class TrainKWClip_GeneralTransformer(BaseTask):
+    def run(self):
+        args = self.args
+        set_logging(args.log_level)
+        _seed_everything(args.seed)
+
+        is_reference_ckpt = bool(
+            (args.resume or args.ckpt or "").endswith(".ckpt")
+        )
+        reference_state = None
+        if args.resume and is_reference_ckpt:
+            from ..convert.reference_ckpt import load_reference_checkpoint
+
+            params, model_state, config = load_reference_checkpoint(args.resume)
+            reference_state = (params, model_state)
+            config.update({k: v for k, v in vars(args).items() if v is not None})
+            config = ConfigNode(config)
+        elif args.resume:
+            config = load_config_from_checkpoint(args.resume)
+        else:
+            assert args.config, "--config required for fresh runs"
+            config = load_config(args.config, overrides=args.override)
+
+        if args.dataset_root:
+            config.set_path("data.dataset.dataset_root", args.dataset_root)
+        if args.save_path:
+            config.set_path("trainer.default_root_dir", args.save_path)
+        config["seed"] = args.seed
+        for ov in args.override:
+            key, _, value = ov.partition("=")
+            import yaml
+
+            config.set_path(key.strip(), yaml.safe_load(value.strip()))
+
+        devices = None
+        if args.devices:
+            devices = jax.devices()[: args.devices]
+        tokenizer = _build_tokenizer(config)
+        trainer = Trainer(config, tokenizer=tokenizer, devices=devices)
+        self.config = config
+
+        if args.train:
+            trainer.fit(resume=None if is_reference_ckpt else args.resume)
+        elif args.eval or args.test:
+            from ..training.optim import build_optimizer
+            from ..training.train_step import create_train_state, place_state
+
+            state = create_train_state(
+                trainer.model, trainer.tx, jax.random.key(args.seed)
+            )
+            if reference_state is not None:
+                params, model_state = reference_state
+                state = state.__class__(
+                    params=params,
+                    model_state=model_state or state.model_state,
+                    opt_state=state.opt_state,
+                    step=state.step,
+                    rng=state.rng,
+                )
+            elif args.resume or args.ckpt:
+                state = trainer.ckpt.restore(args.resume or args.ckpt, state)
+            state = place_state(state, trainer.mesh)
+            metrics = trainer.validate(state)
+            logger.info("validation metrics: %s", metrics)
+            return metrics
+        else:
+            raise ValueError("specify one of --train / --eval / --test")

@@ -1,0 +1,140 @@
+"""Orbax checkpointing with the reference's two-monitor policy.
+
+Mirrors the reference's persistence design (SURVEY.md §5): two checkpoint
+monitors — val_loss (min, top-1, plus save_last) and val_recall_mean_10
+(max, top-3) (base_task.py:176-193) — plus exact-step snapshots
+(CheckpointAtStep, train_KWClip.py:17-68). The config is serialized next to
+the weights (the save_hyperparameters equivalent) so restore needs no YAML.
+
+Saves are async (orbax) so the TPU never waits on the filesystem.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, List, Optional, Sequence
+
+import orbax.checkpoint as ocp
+
+from ..config import ConfigNode
+
+DEFAULT_MONITORS = (
+    {"name": "val_loss", "mode": "min", "top_k": 1},
+    {"name": "val_recall_mean_10", "mode": "max", "top_k": 3},
+)
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        root_dir: str,
+        monitors: Sequence[Dict] = DEFAULT_MONITORS,
+        save_last: bool = True,
+        save_at_steps: Sequence[int] = (),
+    ):
+        self.root_dir = os.path.abspath(root_dir)
+        self.monitors = list(monitors)
+        self.save_last = save_last
+        self.save_at_steps = set(save_at_steps)
+        self._ckptr = ocp.StandardCheckpointer()
+        self._index_path = os.path.join(self.root_dir, "ckpt_index.json")
+        self._index: Dict[str, List[Dict]] = {m["name"]: [] for m in self.monitors}
+        os.makedirs(self.root_dir, exist_ok=True)
+        if os.path.exists(self._index_path):
+            with open(self._index_path) as f:
+                self._index.update(json.load(f))
+
+    # ------------------------------------------------------------------ save
+    def _save_tree(self, path: str, state: Any, config: Optional[ConfigNode]):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(os.path.join(path, "state"), state)
+        if config is not None:
+            with open(os.path.join(self.root_dir, "config.yaml"), "w") as f:
+                f.write(config.to_yaml())
+
+    def save(
+        self,
+        state: Any,
+        step: int,
+        metrics: Dict[str, float],
+        config: Optional[ConfigNode] = None,
+    ) -> List[str]:
+        """Apply the monitor policy; returns the paths written."""
+        written = []
+        if self.save_last:
+            path = os.path.join(self.root_dir, "last")
+            self._save_tree(path, state, config)
+            written.append(path)
+        if step in self.save_at_steps:
+            path = os.path.join(self.root_dir, f"step_{step}")
+            self._save_tree(path, state, config)
+            written.append(path)
+        for mon in self.monitors:
+            name, mode, top_k = mon["name"], mon["mode"], mon["top_k"]
+            if name not in metrics:
+                continue
+            value = float(metrics[name])
+            entries = self._index[name]
+            better = sorted(
+                entries + [{"step": step, "value": value}],
+                key=lambda e: e["value"],
+                reverse=(mode == "max"),
+            )[:top_k]
+            if {"step": step, "value": value} in better:
+                fname = f"{name}_step{step}_{value:.4f}"
+                path = os.path.join(self.root_dir, name, fname)
+                self._save_tree(path, state, config)
+                written.append(path)
+                for stale in entries:
+                    if stale not in better:
+                        stale_path = os.path.join(
+                            self.root_dir,
+                            name,
+                            f"{name}_step{stale['step']}_{stale['value']:.4f}",
+                        )
+                        shutil.rmtree(stale_path, ignore_errors=True)
+                self._index[name] = better
+        with open(self._index_path, "w") as f:
+            json.dump(self._index, f)
+        return written
+
+    def wait(self):
+        self._ckptr.wait_until_finished()
+
+    # --------------------------------------------------------------- restore
+    def restore(self, path: str, target: Any) -> Any:
+        self.wait()
+        return self._ckptr.restore(os.path.join(path, "state"), target)
+
+    def restore_last(self, target: Any) -> Any:
+        return self.restore(os.path.join(self.root_dir, "last"), target)
+
+    def best_path(self, monitor: str) -> Optional[str]:
+        entries = self._index.get(monitor, [])
+        if not entries:
+            return None
+        best = entries[0]
+        return os.path.join(
+            self.root_dir,
+            monitor,
+            f"{monitor}_step{best['step']}_{best['value']:.4f}",
+        )
+
+
+def load_config_from_checkpoint(ckpt_dir: str) -> ConfigNode:
+    """Config rides beside the weights (save_hyperparameters equivalent)."""
+    for cand in (
+        os.path.join(ckpt_dir, "config.yaml"),
+        os.path.join(os.path.dirname(ckpt_dir.rstrip("/")), "config.yaml"),
+        os.path.join(
+            os.path.dirname(os.path.dirname(ckpt_dir.rstrip("/"))), "config.yaml"
+        ),
+    ):
+        if os.path.exists(cand):
+            from ..config import load_config
+
+            return load_config(cand)
+    raise FileNotFoundError(f"no config.yaml found near {ckpt_dir}")

@@ -1,0 +1,263 @@
+"""Trainer: the fit/validate orchestration loop.
+
+Equivalent of the reference's task layer + Lightning Trainer usage
+(avssl/task/base_task.py:35-245, SURVEY.md §3.1): seed, datasets, bucketed
+loaders, sharded train step, per-epoch validation with retrieval recall,
+two-monitor checkpointing, metric logging, resume.
+
+TPU specifics: one jit specialization per wav bucket (static shapes), batch
+sharded over the mesh "data" axis, params optionally tensor-sharded over
+"model"; eval remainder batches are padded to the bucket batch size and
+trimmed on host.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ConfigNode
+from ..data import BucketedLoader, build_dataset
+from ..models.speechclip import SpeechCLIPModel
+from ..parallel import make_mesh
+from .checkpoint import CheckpointManager
+from .evaluation import (
+    collect_validation_outputs,
+    retrieval_metrics,
+    run_keyword_diagnostics,
+)
+from .logging import MetricsLogger
+from .optim import build_optimizer
+from .train_step import (
+    TrainState,
+    create_train_state,
+    jit_train_step,
+    make_eval_step,
+    make_train_step,
+    place_state,
+    shard_batch,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def _pad_batch(batch: Dict[str, np.ndarray], size: int):
+    n = len(batch["id"])
+    if n == size:
+        return batch, n
+    out = {}
+    for k, v in batch.items():
+        pad_width = [(0, size - n)] + [(0, 0)] * (v.ndim - 1)
+        out[k] = np.pad(v, pad_width)
+    # padded ids must not collide with real pair ids in the loss mask
+    out["id"][n:] = -np.arange(1, size - n + 1)
+    return out, n
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: ConfigNode,
+        workdir: Optional[str] = None,
+        tokenizer=None,
+        devices=None,
+    ):
+        self.config = config
+        self.workdir = workdir or config.get_path(
+            "trainer.default_root_dir", "exp/run"
+        )
+        os.makedirs(self.workdir, exist_ok=True)
+        self.seed = int(config.get_path("seed", 7122))
+
+        self.model = SpeechCLIPModel(config)
+        self.tokenizer = tokenizer
+
+        model_axis = int(config.get_path("trainer.model_parallel", 1))
+        self.mesh = make_mesh(devices=devices, model=model_axis)
+        self.n_data = self.mesh.shape["data"]
+
+        params_template, _ = self.model.init(jax.random.key(self.seed))
+        self.tx, self.schedule = build_optimizer(
+            config, self.model.trainable_mask(params_template)
+        )
+        del params_template
+
+        self.ckpt = CheckpointManager(
+            os.path.join(self.workdir, "ckpts"),
+            save_at_steps=config.get_path("trainer.save_at_steps", []) or [],
+        )
+        self.metrics_logger = MetricsLogger(
+            self.workdir,
+            backend=config.get_path("trainer.logger", "tb"),
+            project=config.get_path("logger.project"),
+            run_name=os.path.basename(self.workdir),
+        )
+        self._train_step = jit_train_step(
+            make_train_step(self.model, self.tx), donate=True
+        )
+        self._eval_step = jax.jit(make_eval_step(self.model))
+
+    # ------------------------------------------------------------------ data
+    def build_loaders(self):
+        data_cfg = self.config.data
+        train_ds = build_dataset(data_cfg, "train", self.tokenizer)
+        dev_split = "dev" if data_cfg.dataset.name == "flickr" else "val"
+        dev_ds = build_dataset(data_cfg, dev_split, self.tokenizer)
+        max_audio_len = int(
+            self.config.get_path("audio_encoder.max_audio_len", 102400)
+        )
+        train_loader = BucketedLoader(
+            train_ds,
+            batch_size=int(data_cfg.batch_size),
+            train=True,
+            max_audio_len=max_audio_len,
+            seed=self.seed,
+        )
+        dev_loader = BucketedLoader(
+            dev_ds,
+            batch_size=int(data_cfg.get("dev_batch_size", 8)),
+            train=False,
+            seed=self.seed,
+        )
+        return train_loader, dev_loader
+
+    # ------------------------------------------------------------------- fit
+    def fit(self, resume: Optional[str] = None) -> TrainState:
+        state = create_train_state(self.model, self.tx, jax.random.key(self.seed))
+        if resume:
+            state = self.ckpt.restore(resume, state)
+            logger.info("resumed from %s at step %d", resume, int(state.step))
+        else:
+            state = TrainState(
+                params=self.model.load_pretrained(state.params),
+                model_state=state.model_state,
+                opt_state=state.opt_state,
+                step=state.step,
+                rng=state.rng,
+            )
+        state = place_state(state, self.mesh)
+
+        train_loader, dev_loader = self.build_loaders()
+        max_steps = int(self.config.get_path("trainer.max_steps", 50000))
+        log_every = int(self.config.get_path("trainer.log_every_n_steps", 8))
+        val_every_epoch = int(
+            self.config.get_path("trainer.check_val_every_n_epoch", 1)
+        )
+
+        step = int(jax.device_get(state.step))
+        epoch = 0
+        t_last = time.perf_counter()
+        while step < max_steps:
+            for batch in train_loader:
+                if len(batch["id"]) % self.n_data != 0:
+                    continue  # drop ragged trailing batch (drop_last default)
+                state, metrics = self._train_step(
+                    state, shard_batch(batch, self.mesh)
+                )
+                step += 1
+                if step % log_every == 0:
+                    host_metrics = {
+                        k: float(jax.device_get(v)) for k, v in metrics.items()
+                    }
+                    now = time.perf_counter()
+                    host_metrics["steps_per_sec"] = log_every / (now - t_last)
+                    host_metrics["lr"] = float(self.schedule(step))
+                    t_last = now
+                    self.metrics_logger.log(host_metrics, step)
+                if step >= max_steps:
+                    break
+            epoch += 1
+            if epoch % val_every_epoch == 0 or step >= max_steps:
+                val_metrics = self.validate(state, dev_loader, epoch=epoch)
+                self.metrics_logger.log(val_metrics, step)
+                self.ckpt.save(
+                    jax.device_get(state), step, val_metrics, self.config
+                )
+        self.ckpt.wait()
+        return state
+
+    # -------------------------------------------------------------- validate
+    def validate(
+        self,
+        state: TrainState,
+        loader: Optional[BucketedLoader] = None,
+        epoch: int = 0,
+    ) -> Dict[str, float]:
+        if loader is None:
+            _, loader = self.build_loaders()
+        batch_size = loader.batch_size
+        outputs: List[Dict] = []
+        agg: Dict[str, List[float]] = {}
+        for batch in loader:
+            padded, n_valid = _pad_batch(batch, batch_size)
+            out = self._eval_step(state, shard_batch(padded, self.mesh))
+            out = jax.device_get(out)
+            rec = {
+                "id": out["id"][:n_valid],
+                "audio_feat": out["audio_feat"][:n_valid],
+                "image_feat": out["image_feat"][:n_valid],
+            }
+            if "keywords" in out:
+                rec["keywords"] = out["keywords"][:n_valid]
+                if "text" in batch and self.tokenizer is not None:
+                    rec["gold_text"] = [
+                        self.tokenizer.decode(
+                            [t for t in row if t > 0]
+                        )
+                        for row in batch["text"][:n_valid]
+                    ]
+            outputs.append(rec)
+            for k, v in out["metrics"].items():
+                agg.setdefault(k, []).append(float(v))
+
+        collected = collect_validation_outputs(outputs)
+        recall_ab, recall_ba, recall_mean = retrieval_metrics(
+            collected, self.model.recall_at
+        )
+        logger.info("val_recall_AI %s", recall_ab)
+        logger.info("val_recall_IA %s", recall_ba)
+        logger.info("val_recall_mean %s", recall_mean)
+
+        metrics: Dict[str, float] = {k: float(np.mean(v)) for k, v in agg.items()}
+        metrics.update({f"val_recall_AI/{k}": v for k, v in recall_ab.items()})
+        metrics.update({f"val_recall_IA/{k}": v for k, v in recall_ba.items()})
+        metrics.update({f"val_recall_mean/{k}": v for k, v in recall_mean.items()})
+        if "recall@10" in recall_mean:
+            metrics["val_recall_mean_10"] = recall_mean["recall@10"]
+        if "recall@1" in recall_mean:
+            metrics["val_recall_mean_1"] = recall_mean["recall@1"]
+
+        log_detok = self.config.get_path(
+            "log_setting.log_detokenize_results", True
+        )
+        every_n = int(
+            self.config.get_path(
+                "log_setting.log_detokenize_results_every_n_epoch", 1
+            )
+        )
+        if (
+            log_detok
+            and self.model.use_cascaded
+            and self.tokenizer is not None
+            and "keywords" in collected
+            and epoch % max(every_n, 1) == 0
+        ):
+            emb = jax.device_get(state.params)["clip"]["text"]["token_embedding"]
+            hits = run_keyword_diagnostics(
+                self.model,
+                collected,
+                emb,
+                self.tokenizer,
+                os.path.join(self.workdir, "detokenizeText"),
+                epoch,
+            )
+            if hits:
+                metrics["kw_hit_rate"] = hits
+        return metrics

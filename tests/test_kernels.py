@@ -1,0 +1,83 @@
+"""Pallas kernel tests (interpret mode on the CPU platform)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speechclip_tpu.kernels.flash_attention import (
+    _reference_attention,
+    flash_attention,
+)
+
+
+def make_qkv(b=2, h=2, l=96, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.standard_normal((b, h, l, d)).astype(np.float32))
+    return mk(), mk(), mk()
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_reference(self, causal):
+        q, k, v = make_qkv()
+        out_f = flash_attention(q, k, v, None, causal)
+        out_r = _reference_attention(q, k, v, None, causal)
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_r), atol=2e-5
+        )
+
+    def test_key_length_masking(self):
+        q, k, v = make_qkv(b=3, l=100)
+        lens = jnp.asarray(np.array([100, 64, 17], np.int32))
+        out_f = flash_attention(q, k, v, lens, False)
+        out_r = _reference_attention(q, k, v, lens, False)
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_r), atol=2e-5
+        )
+
+    def test_non_block_multiple_lengths(self):
+        # L=130 exercises the padded final q/k block
+        q, k, v = make_qkv(l=130, seed=3)
+        out_f = flash_attention(q, k, v, None, False)
+        out_r = _reference_attention(q, k, v, None, False)
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_r), atol=2e-5
+        )
+
+    def test_gradients_flow(self):
+        q, k, v = make_qkv(l=64, seed=4)
+        lens = jnp.asarray(np.array([64, 32], np.int32))
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, lens, False) ** 2)
+
+        gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(_reference_attention(q, k, v, lens, False) ** 2)
+
+        rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=1e-4)
+
+    def test_backend_switch_in_mha(self):
+        """ops.attention dispatches to the kernel only on TPU; on the CPU
+        test platform the flag must leave results unchanged."""
+        from speechclip_tpu import ops
+
+        params = ops.mha_init(jax.random.key(0), 32)
+        x = jnp.asarray(
+            np.random.default_rng(5).standard_normal((2, 10, 32)).astype(np.float32)
+        )
+        lens = jnp.asarray(np.array([10, 6]))
+        out_xla, _ = ops.multi_head_attention(
+            params, x, x, x, num_heads=4, key_valid_lens=lens
+        )
+        with ops.attention_backend("pallas"):
+            out_p, _ = ops.multi_head_attention(
+                params, x, x, x, num_heads=4, key_valid_lens=lens
+            )
+        np.testing.assert_allclose(np.asarray(out_xla), np.asarray(out_p), atol=1e-6)

@@ -1,0 +1,165 @@
+"""End-to-end trainer tests: synthetic Flickr corpus -> fit -> validate ->
+checkpoint -> resume, on the 8-device CPU mesh."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from speechclip_tpu.config import ConfigNode
+from speechclip_tpu.models.tokenizer import CLIPTokenizer
+from speechclip_tpu.training.trainer import Trainer
+from tests.test_data import write_jpg, write_wav
+from tests.test_models import tiny_speechclip_config
+
+
+def make_tiny_bpe(path):
+    """Minimal CLIP-style merges file: header line + a few merges."""
+    merges = ["t h", "th e</w>", "a</w> ", "o f</w>", "i n</w>", "e r</w>"]
+    merges = [m for m in merges if len(m.split()) == 2]
+    with gzip.open(path, "wt", encoding="utf-8") as f:
+        f.write("#version: tiny\n")
+        f.write("\n".join(merges))
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    (root / "flickr_audio" / "wavs").mkdir(parents=True)
+    (root / "Images").mkdir()
+    images = [f"im{i:03d}" for i in range(8)]
+    captions = []
+    for i, name in enumerate(images):
+        write_jpg(root / "Images" / f"{name}.jpg", size=48, seed=i)
+        for n in range(2):
+            write_wav(
+                root / "flickr_audio" / "wavs" / f"{name}_{n}.wav",
+                1600 + 400 * n + i * 50,
+                seed=i * 7 + n,
+            )
+            captions.append(f"{name}.jpg#{n}\tthe thing number {i} in photo {n} .")
+    (root / "Flickr8k.token.txt").write_text("\n".join(captions))
+    (root / "Flickr_8k.trainImages.txt").write_text(
+        "\n".join(f"{n}.jpg" for n in images[:6])
+    )
+    (root / "Flickr_8k.devImages.txt").write_text(
+        "\n".join(f"{n}.jpg" for n in images[6:])
+    )
+    return root
+
+
+@pytest.fixture(scope="module")
+def trainer_config(corpus, tmp_path_factory):
+    cfg_dir = tmp_path_factory.mktemp("cfgroot")
+    cfg = tiny_speechclip_config(cfg_dir)
+    cfg.merge_(
+        {
+            "data": {
+                "dataset": {
+                    "name": "flickr",
+                    "dataset_root": str(corpus),
+                    "text_file": "Flickr8k.token.txt",
+                    "load_image": True,
+                    "load_audio": True,
+                    "tokenizeText": True,
+                },
+                "batch_size": 8,
+                "dev_batch_size": 8,
+            },
+            "audio_encoder": {
+                "max_audio_len": 2400,
+                "optim": {"name": "Adam", "args": {"lr": 1e-3, "weight_decay": 1e-6}},
+                "scheduler": {
+                    "name": "linear_warmup_decay",
+                    "warmup": 2,
+                    "max_step": 10,
+                    "final_lr": 1e-8,
+                },
+            },
+            "trainer": {
+                "max_steps": 3,
+                "gradient_clip_val": 4,
+                "check_val_every_n_epoch": 1,
+                "precision": 32,
+                "logger": "none",
+                "log_every_n_steps": 1,
+                "default_root_dir": str(tmp_path_factory.mktemp("exp")),
+            },
+            "log_setting": {
+                "log_detokenize_results": True,
+                "log_detokenize_results_every_n_epoch": 1,
+            },
+            "seed": 7122,
+        }
+    )
+    # image_size must match the tiny CLIP tower
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def tokenizer(tmp_path_factory):
+    path = make_tiny_bpe(tmp_path_factory.mktemp("bpe") / "merges.txt.gz")
+    return CLIPTokenizer(path)
+
+
+class TestTokenizer:
+    def test_roundtrip(self, tokenizer):
+        ids = tokenizer.encode("the thing")
+        assert ids
+        text = tokenizer.decode(ids)
+        assert "the" in text and "thing" in text
+
+    def test_tokenize_shape_and_specials(self, tokenizer):
+        out = tokenizer.tokenize(["hello world", "a"])
+        assert out.shape == (2, 77)
+        assert (out[:, 0] == tokenizer.sot_id).all()
+        for row in out:
+            assert tokenizer.eot_id in row
+
+    def test_decode_specials_pass_through(self, tokenizer):
+        text = tokenizer.decode([tokenizer.sot_id, tokenizer.eot_id])
+        assert text == "<|startoftext|><|endoftext|>"
+
+
+class TestTrainerEndToEnd:
+    def test_fit_validate_checkpoint_resume(self, trainer_config, tokenizer, monkeypatch):
+        # the tiny CLIP tower takes 32x32 images
+        from speechclip_tpu.data import datasets as ds_mod
+
+        trainer = Trainer(trainer_config, tokenizer=tokenizer)
+        # image_size must match the tiny tower (224 default)
+        tl, dl = trainer.build_loaders()
+        tl.dataset.image_size = 32
+        dl.dataset.image_size = 32
+        monkeypatch.setattr(Trainer, "build_loaders", lambda self: (tl, dl))
+
+        state = trainer.fit()
+        assert int(jax.device_get(state.step)) == 3
+
+        workdir = trainer.workdir
+        assert os.path.exists(os.path.join(workdir, "ckpts", "last"))
+        assert os.path.exists(os.path.join(workdir, "ckpts", "config.yaml"))
+        assert os.path.exists(os.path.join(workdir, "metrics.jsonl"))
+        # two-monitor dirs
+        assert os.path.isdir(os.path.join(workdir, "ckpts", "val_loss"))
+        assert os.path.isdir(os.path.join(workdir, "ckpts", "val_recall_mean_10"))
+        # keyword diagnostics dumped
+        detok = os.path.join(workdir, "detokenizeText")
+        assert any(f.startswith("kw_hit") for f in os.listdir(detok))
+
+        # validation produces the reference's metric names
+        metrics = trainer.validate(state, dl)
+        assert "val_recall_mean_10" in metrics
+        assert "val_loss" in metrics
+        assert 0 <= metrics["val_recall_mean_10"] <= 100
+
+        # resume: restore last and continue one more step
+        trainer_config.trainer.max_steps = 4
+        trainer2 = Trainer(trainer_config, tokenizer=tokenizer)
+        monkeypatch.setattr(Trainer, "build_loaders", lambda self: (tl, dl))
+        state2 = trainer2.fit(resume=os.path.join(workdir, "ckpts", "last"))
+        assert int(jax.device_get(state2.step)) == 4
