@@ -151,6 +151,11 @@ class Trainer:
             self.config.get_path("trainer.check_val_every_n_epoch", 1)
         )
 
+        # step-time tracing (capability the reference lacks — SURVEY.md §5):
+        # trainer.profile_steps: [start, stop] captures a jax.profiler trace
+        profile_steps = self.config.get_path("trainer.profile_steps")
+        profile_dir = os.path.join(self.workdir, "profile")
+
         step = int(jax.device_get(state.step))
         epoch = 0
         t_last = time.perf_counter()
@@ -158,10 +163,16 @@ class Trainer:
             for batch in train_loader:
                 if len(batch["id"]) % self.n_data != 0:
                     continue  # drop ragged trailing batch (drop_last default)
+                if profile_steps and step == int(profile_steps[0]):
+                    jax.profiler.start_trace(profile_dir)
                 state, metrics = self._train_step(
                     state, shard_batch(batch, self.mesh)
                 )
                 step += 1
+                if profile_steps and step == int(profile_steps[1]):
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    logger.info("profiler trace written to %s", profile_dir)
                 if step % log_every == 0:
                     host_metrics = {
                         k: float(jax.device_get(v)) for k, v in metrics.items()
