@@ -80,8 +80,7 @@ def convert_reference_checkpoint(
     ``checkpoint`` is the torch-loaded Lightning dict. Config comes from the
     pickled hyper_parameters unless overridden.
     """
-    from ..models.hubert import NAMED_CONFIGS as HUBERT_CONFIGS
-    from ..models.clip import NAMED_CONFIGS as CLIP_CONFIGS
+    from ..models.speechclip import resolve_tower_configs
 
     sd = checkpoint["state_dict"]
     if config is None:
@@ -91,8 +90,7 @@ def convert_reference_checkpoint(
             cfg_obj if isinstance(cfg_obj, Mapping) else cfg_obj.__dict__
         )
 
-    hubert_cfg = HUBERT_CONFIGS[config.audio_encoder.name]
-    clip_cfg = CLIP_CONFIGS[config.clip.name]
+    hubert_cfg, clip_cfg = resolve_tower_configs(config)
 
     params: Dict = {
         "audio_encoder": hubert_from_fairseq(

@@ -52,6 +52,28 @@ def _compute_dtype(config: ConfigNode):
     return jnp.float32
 
 
+def resolve_tower_configs(config: ConfigNode):
+    """(HubertConfig, CLIPConfig) from the config block: named presets, or
+    custom dims via audio_encoder.custom / clip.custom."""
+    custom_ae = config.audio_encoder.get("custom")
+    if custom_ae is not None:
+        kwargs = dict(custom_ae.to_dict())
+        if "conv_layers" in kwargs:
+            kwargs["conv_layers"] = tuple(tuple(l) for l in kwargs["conv_layers"])
+        audio_cfg = hubert.HubertConfig(**kwargs)
+    else:
+        audio_cfg = hubert.NAMED_CONFIGS[config.audio_encoder.name]
+    custom_clip = config.clip.get("custom")
+    if custom_clip is not None:
+        clip_cfg = clip_mod.CLIPConfig(
+            vision=clip_mod.CLIPVisionConfig(**custom_clip.vision.to_dict()),
+            text=clip_mod.CLIPTextConfig(**custom_clip.text.to_dict()),
+        )
+    else:
+        clip_cfg = clip_mod.NAMED_CONFIGS[config.clip.name]
+    return audio_cfg, clip_cfg
+
+
 @dataclasses.dataclass
 class SpeechCLIPModel:
     """Host-side model description; all heavy math lives in pure methods."""
@@ -63,28 +85,11 @@ class SpeechCLIPModel:
         ae_type = cfg.audio_encoder.type
         if ae_type not in ("FairseqHubert", "s3prl_plus"):
             raise NotImplementedError(f"audio encoder type {ae_type}")
-        custom_ae = cfg.audio_encoder.get("custom")
-        if custom_ae is not None:
-            kwargs = dict(custom_ae.to_dict())
-            if "conv_layers" in kwargs:
-                kwargs["conv_layers"] = tuple(
-                    tuple(l) for l in kwargs["conv_layers"]
-                )
-            self.audio_cfg = hubert.HubertConfig(**kwargs)
-        else:
-            self.audio_cfg = hubert.NAMED_CONFIGS[cfg.audio_encoder.name]
+        self.audio_cfg, self.clip_cfg = resolve_tower_configs(cfg)
         if cfg.audio_encoder.get("normalize_hiddenstates", False):
             self.hidden_norm_type = cfg.audio_encoder.get("normalize_type", "s3prl")
         else:
             self.hidden_norm_type = None
-        custom_clip = cfg.clip.get("custom")
-        if custom_clip is not None:
-            self.clip_cfg = clip_mod.CLIPConfig(
-                vision=clip_mod.CLIPVisionConfig(**custom_clip.vision.to_dict()),
-                text=clip_mod.CLIPTextConfig(**custom_clip.text.to_dict()),
-            )
-        else:
-            self.clip_cfg = clip_mod.NAMED_CONFIGS[cfg.clip.name]
         self.audio_embd_dim = self.audio_cfg.encoder_embed_dim
         self.subword_embd_dim = self.clip_cfg.text.width
         self.compute_dtype = _compute_dtype(cfg)

@@ -1,0 +1,252 @@
+"""Reference Lightning-checkpoint conversion tests.
+
+Builds a synthetic checkpoint with the reference's exact state-dict naming
+(module tree of KWClip_GeneralTransformer: audio_encoder.encoder.* fairseq
+HuBERT, clip.model.* OpenAI CLIP, branch modules, kw-BN, weighted sum) using
+real torch modules where naming is nontrivial, converts it, and checks the
+converted branch parameters reproduce the torch modules' forward outputs.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from speechclip_tpu.config import ConfigNode
+from speechclip_tpu.convert.reference_ckpt import convert_reference_checkpoint
+from speechclip_tpu.models import branches
+from tests import torch_ref
+from tests.test_models import TINY_CLIP, TINY_HUBERT, tiny_speechclip_config
+
+
+def fairseq_hubert_state_dict(rng, cfg=TINY_HUBERT):
+    """Random tensors under fairseq HubertModel names (tiny dims)."""
+    sd = {}
+    in_ch = 1
+    for i, (ch, k, s) in enumerate(cfg.conv_layers):
+        sd[f"feature_extractor.conv_layers.{i}.0.weight"] = torch.randn(ch, in_ch, k)
+        if i == 0:
+            sd[f"feature_extractor.conv_layers.{i}.2.weight"] = torch.randn(ch)
+            sd[f"feature_extractor.conv_layers.{i}.2.bias"] = torch.randn(ch)
+        in_ch = ch
+    c_last = cfg.conv_layers[-1][0]
+    d, f = cfg.encoder_embed_dim, cfg.encoder_ffn_dim
+    sd["layer_norm.weight"] = torch.randn(c_last)
+    sd["layer_norm.bias"] = torch.randn(c_last)
+    sd["post_extract_proj.weight"] = torch.randn(d, c_last)
+    sd["post_extract_proj.bias"] = torch.randn(d)
+    k_pos = cfg.pos_conv_kernel
+    g = cfg.pos_conv_groups
+    sd["encoder.pos_conv.0.weight_g"] = torch.randn(1, 1, k_pos)
+    sd["encoder.pos_conv.0.weight_v"] = torch.randn(d, d // g, k_pos)
+    sd["encoder.pos_conv.0.bias"] = torch.randn(d)
+    sd["encoder.layer_norm.weight"] = torch.randn(d)
+    sd["encoder.layer_norm.bias"] = torch.randn(d)
+    for i in range(cfg.encoder_layers):
+        p = f"encoder.layers.{i}"
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"{p}.self_attn.{proj}.weight"] = torch.randn(d, d)
+            sd[f"{p}.self_attn.{proj}.bias"] = torch.randn(d)
+        for ln in ("self_attn_layer_norm", "final_layer_norm"):
+            sd[f"{p}.{ln}.weight"] = torch.randn(d)
+            sd[f"{p}.{ln}.bias"] = torch.randn(d)
+        sd[f"{p}.fc1.weight"] = torch.randn(f, d)
+        sd[f"{p}.fc1.bias"] = torch.randn(f)
+        sd[f"{p}.fc2.weight"] = torch.randn(d, f)
+        sd[f"{p}.fc2.bias"] = torch.randn(d)
+    return sd
+
+
+def openai_clip_state_dict(cfg=TINY_CLIP, reduced_vocab_size=42):
+    sd = {}
+    v, t = cfg.vision, cfg.text
+    grid = v.image_size // v.patch_size
+    sd["visual.conv1.weight"] = torch.randn(v.width, 3, v.patch_size, v.patch_size)
+    sd["visual.class_embedding"] = torch.randn(v.width)
+    sd["visual.positional_embedding"] = torch.randn(grid * grid + 1, v.width)
+    sd["visual.ln_pre.weight"] = torch.randn(v.width)
+    sd["visual.ln_pre.bias"] = torch.randn(v.width)
+    sd["visual.ln_post.weight"] = torch.randn(v.width)
+    sd["visual.ln_post.bias"] = torch.randn(v.width)
+    sd["visual.proj"] = torch.randn(v.width, v.output_dim)
+
+    def block(prefix, width):
+        sd[f"{prefix}.attn.in_proj_weight"] = torch.randn(3 * width, width)
+        sd[f"{prefix}.attn.in_proj_bias"] = torch.randn(3 * width)
+        sd[f"{prefix}.attn.out_proj.weight"] = torch.randn(width, width)
+        sd[f"{prefix}.attn.out_proj.bias"] = torch.randn(width)
+        for ln in ("ln_1", "ln_2"):
+            sd[f"{prefix}.{ln}.weight"] = torch.randn(width)
+            sd[f"{prefix}.{ln}.bias"] = torch.randn(width)
+        sd[f"{prefix}.mlp.c_fc.weight"] = torch.randn(4 * width, width)
+        sd[f"{prefix}.mlp.c_fc.bias"] = torch.randn(4 * width)
+        sd[f"{prefix}.mlp.c_proj.weight"] = torch.randn(width, 4 * width)
+        sd[f"{prefix}.mlp.c_proj.bias"] = torch.randn(width)
+
+    for i in range(v.layers):
+        block(f"visual.transformer.resblocks.{i}", v.width)
+    for i in range(t.layers):
+        block(f"transformer.resblocks.{i}", t.width)
+    # the persisted table is already reduced (clip_official.py:86)
+    sd["token_embedding.weight"] = torch.randn(reduced_vocab_size, t.width)
+    sd["positional_embedding"] = torch.randn(t.context_length, t.width)
+    sd["ln_final.weight"] = torch.randn(t.width)
+    sd["ln_final.bias"] = torch.randn(t.width)
+    sd["text_projection"] = torch.randn(t.width, t.output_dim)
+    sd["logit_scale"] = torch.tensor(2.6593)
+    return sd
+
+
+@pytest.fixture
+def reference_checkpoint(tmp_path):
+    torch.manual_seed(0)
+    config = tiny_speechclip_config(tmp_path)
+    d = 32
+    sd = {}
+    for k, v in fairseq_hubert_state_dict(np.random.default_rng(0)).items():
+        sd[f"audio_encoder.encoder.{k}"] = v
+    sd["audio_encoder.weightedsum_layer.weights"] = torch.randn(3)
+    for k, v in openai_clip_state_dict().items():
+        sd[f"clip.model.{k}"] = v
+
+    # parallel branch: real torch modules give the exact names
+    p_enc = torch_ref.make_torch_encoder(n_layers=1, d_model=d, nhead=4, dim_feedforward=64)
+    p_lin = torch.nn.Linear(d, 16)
+    sd["parallel_branch.cls"] = torch.randn(1, 1, d)
+    for k, v in p_enc.state_dict().items():
+        sd[f"parallel_branch.self_att.model.{k}"] = v
+    for k, v in p_lin.state_dict().items():
+        sd[f"parallel_branch.linear_proj.{k}"] = v
+
+    # cascaded branch
+    c_mha, c_norm = torch_ref.make_torch_mha_and_norm(d_model=d, nhead=1)
+    c_lin = torch.nn.Linear(d, d)
+    c_bn = torch.nn.BatchNorm1d(d * 4)
+    c_bn.running_mean.normal_()
+    c_bn.running_var.uniform_(0.5, 2.0)
+    sd["cascaded_branch.cls"] = torch.randn(1, 4, d)
+    for k, v in c_mha.state_dict().items():
+        sd[f"cascaded_branch.self_att.multihead_attn_layer.{k}"] = v
+    for k, v in c_norm.state_dict().items():
+        sd[f"cascaded_branch.self_att.attentionBlock_Norm.{k}"] = v
+    for k, v in c_lin.state_dict().items():
+        sd[f"cascaded_branch.linear_proj.{k}"] = v
+    for k, v in c_bn.state_dict().items():
+        sd[f"cascaded_branch.bn_layer.bn_layer.{k}"] = v
+    sd["cascaded_branch.vector_quantizer.curr_temp"] = torch.tensor([0.1])
+
+    ckpt = {
+        "state_dict": sd,
+        "hyper_parameters": {"config": config.to_dict()},
+    }
+    torch_modules = {
+        "p_enc": p_enc,
+        "p_lin": p_lin,
+        "c_mha": c_mha,
+        "c_norm": c_norm,
+        "c_lin": c_lin,
+        "c_bn": c_bn,
+        "p_cls": sd["parallel_branch.cls"],
+        "c_cls": sd["cascaded_branch.cls"],
+    }
+    return ckpt, config, torch_modules
+
+
+class TestReferenceCheckpointConversion:
+    def test_structure_and_values(self, reference_checkpoint):
+        ckpt, config, _ = reference_checkpoint
+        params, state, out_config = convert_reference_checkpoint(ckpt, config)
+        assert "audio_encoder" in params and "clip" in params
+        assert params["weighted_sum"]["weights"].shape == (3,)
+        assert params["clip"]["text"]["token_embedding"].shape[0] == 42
+        # weight-norm folded pos_conv: w = g * v / ||v||
+        v = ckpt["state_dict"]["audio_encoder.encoder.encoder.pos_conv.0.weight_v"].numpy()
+        g = ckpt["state_dict"]["audio_encoder.encoder.encoder.pos_conv.0.weight_g"].numpy()
+        norm = np.sqrt((v.astype(np.float64) ** 2).sum(axis=(0, 1), keepdims=True))
+        expected = (g * v / norm).transpose(2, 1, 0)
+        np.testing.assert_allclose(
+            np.asarray(params["audio_encoder"]["encoder"]["pos_conv"]["w"]),
+            expected,
+            atol=1e-5,
+        )
+        # kw-BN running stats land in state
+        assert "cascaded_branch" in state
+        np.testing.assert_allclose(
+            np.asarray(state["cascaded_branch"]["bn"]["mean"]),
+            ckpt["state_dict"]["cascaded_branch.bn_layer.bn_layer.running_mean"].numpy(),
+        )
+
+    def test_parallel_branch_forward_matches_torch(self, reference_checkpoint):
+        ckpt, config, mods = reference_checkpoint
+        params, _, _ = convert_reference_checkpoint(ckpt, config)
+        rng = np.random.default_rng(1)
+        feat = rng.standard_normal((2, 9, 32)).astype(np.float32)
+        lens = np.array([9, 5])
+
+        out_j = branches.parallel_branch_apply(
+            params["parallel_branch"],
+            config.model_settings.parallel_branch,
+            jnp.asarray(feat),
+            jnp.asarray(lens),
+        )
+
+        enc, lin = mods["p_enc"], mods["p_lin"]
+        enc.eval()
+        cls = mods["p_cls"]
+        src = torch.cat([cls.expand(2, 1, 32), torch.tensor(feat)], dim=1)
+        kpm = torch.zeros(2, 10, dtype=torch.bool)
+        kpm[1, 6:] = True
+        with torch.no_grad():
+            out_t = lin(enc(src, src_key_padding_mask=kpm)[:, 0])
+        np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), atol=2e-4)
+
+    def test_cascaded_attention_matches_torch(self, reference_checkpoint):
+        ckpt, config, mods = reference_checkpoint
+        params, _, _ = convert_reference_checkpoint(ckpt, config)
+        rng = np.random.default_rng(2)
+        feat = rng.standard_normal((2, 7, 32)).astype(np.float32)
+        lens = np.array([7, 4])
+
+        hiddens = branches.cascaded_branch_hidden_states(
+            params["cascaded_branch"],
+            config.model_settings.cascaded_branch,
+            jnp.asarray(feat),
+            jnp.asarray(lens),
+        )
+        out_j = hiddens[-1]
+
+        mha, norm = mods["c_mha"], mods["c_norm"]
+        mha.eval()
+        cls = mods["c_cls"]
+        src = torch.cat([cls.expand(2, 4, 32), torch.tensor(feat)], dim=1)
+        kpm = torch.zeros(2, 11, dtype=torch.bool)
+        kpm[1, 8:] = True
+        with torch.no_grad():
+            attn, _ = mha(src, src, src, key_padding_mask=kpm)
+            out_t = norm(attn + src)[:, 4:]
+        np.testing.assert_allclose(
+            np.asarray(out_j)[0], out_t.numpy()[0], atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_j)[1, :4], out_t.numpy()[1, :4], atol=2e-4
+        )
+
+    def test_full_model_forward_with_converted_params(self, reference_checkpoint):
+        ckpt, config, _ = reference_checkpoint
+        from speechclip_tpu.models.speechclip import SpeechCLIPModel
+
+        params, state, _ = convert_reference_checkpoint(ckpt, config)
+        model = SpeechCLIPModel(config)
+        rng = np.random.default_rng(3)
+        batch = {
+            "wav": jnp.asarray(rng.standard_normal((2, 2000)).astype(np.float32)),
+            "wav_len": jnp.asarray(np.array([2000, 1500])),
+            "image": jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32)),
+            "id": jnp.asarray(np.array([0, 1])),
+        }
+        loss_feats, _, others, _ = model.forward(params, state, batch)
+        losses = model.compute_loss(params, loss_feats)
+        assert np.isfinite(float(losses["loss"]))
+        assert others["keywords"].shape == (2, 4, 32)
