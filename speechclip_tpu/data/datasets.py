@@ -64,12 +64,23 @@ class PairedDataset:
         return len(self.data)
 
     def wav_length(self, index: int) -> int:
-        return wav_num_samples(self.data[index]["wav"], self.target_sr)
+        path = self.data[index]["wav"]
+        from . import native
+
+        if native.available():
+            try:
+                return native.wav_num_samples(path, self.target_sr)
+            except RuntimeError:
+                pass
+        return wav_num_samples(path, self.target_sr)
 
     def __getitem__(self, index: int) -> Dict:
+        return self.get_item(index)
+
+    def get_item(self, index: int, skip_wav: bool = False) -> Dict:
         entry = self.data[index]
         out: Dict = {"id": entry["id"]}
-        if "wav" in entry:
+        if "wav" in entry and not skip_wav:
             out["wav"] = read_wav(entry["wav"], self.target_sr)
         if "image" in entry:
             out["image"] = load_image(entry["image"], self.image_size)

@@ -141,34 +141,83 @@ class BucketedLoader:
 
     def _assemble(self, plan, rng) -> Dict[str, np.ndarray]:
         bucket_len, indices = plan
-        samples = [self.dataset[int(i)] for i in indices]
-        n = len(samples)
-        batch: Dict[str, np.ndarray] = {
-            "wav": np.zeros((n, bucket_len), np.float32),
-            "wav_len": np.zeros((n,), np.int32),
-            "id": np.zeros((n,), np.int64),
-        }
-        has_image = "image" in samples[0]
-        has_text = "text" in samples[0] and not isinstance(
-            samples[0]["text"], str
+        entries = [self.dataset.data[int(i)] for i in indices]
+        n = len(entries)
+
+        # native fast path: threaded C++ decode straight into the batch
+        # buffer (native/wavio.cc); python per-sample decode otherwise
+        from . import native as native_mod
+
+        use_native = native_mod.available() and all(
+            "wav" in e for e in entries
+        )
+        if use_native:
+            offsets = None
+            if self.train and self.max_audio_len > 0:
+                # random crop: offset within [0, len - crop] (parity with
+                # reference random_crop_max_length semantics)
+                full = np.minimum(self._lengths[indices], 10**12)
+                crop = np.minimum(full, self.max_audio_len)
+                room = np.maximum(full - crop, 0)
+                offsets = np.array(
+                    [rng.integers(0, r + 1) if r > 0 else 0 for r in room],
+                    np.int64,
+                )
+            wav, wav_len = native_mod.decode_wav_batch(
+                [e["wav"] for e in entries],
+                max_len=bucket_len,
+                target_sr=self.dataset.target_sr,
+                offsets=offsets,
+            )
+            if self.max_audio_len > 0:
+                clip = np.minimum(wav_len, self.max_audio_len)
+                mask = (
+                    np.arange(bucket_len)[None, :] < clip[:, None]
+                )
+                wav = np.where(mask, wav, 0.0).astype(np.float32)
+                wav_len = clip
+            batch: Dict[str, np.ndarray] = {
+                "wav": wav,
+                "wav_len": wav_len.astype(np.int32),
+                "id": np.array([e["id"] for e in entries], np.int64),
+            }
+            if "image" in entries[0] or "text" in entries[0]:
+                samples = [
+                    self.dataset.get_item(int(i), skip_wav=True)
+                    for i in indices
+                ]
+            else:
+                samples = [{} for _ in indices]
+        else:
+            samples = [self.dataset[int(i)] for i in indices]
+            batch = {
+                "wav": np.zeros((n, bucket_len), np.float32),
+                "wav_len": np.zeros((n,), np.int32),
+                "id": np.zeros((n,), np.int64),
+            }
+            for j, s in enumerate(samples):
+                wav = s["wav"]
+                if self.train and self.max_audio_len > 0:
+                    wav = random_crop_max_length(
+                        wav, self.max_audio_len, rng=rng
+                    )
+                wav = wav[:bucket_len]
+                batch["wav"][j, : len(wav)] = wav
+                batch["wav_len"][j] = len(wav)
+                batch["id"][j] = s["id"]
+
+        has_image = bool(samples) and "image" in samples[0]
+        has_text = (
+            bool(samples)
+            and "text" in samples[0]
+            and not isinstance(samples[0]["text"], str)
         )
         if has_image:
-            img0 = samples[0]["image"]
-            batch["image"] = np.zeros((n,) + img0.shape, np.float32)
-        if has_text:
-            batch["text"] = np.zeros(
-                (n,) + samples[0]["text"].shape, np.int64
+            batch["image"] = np.stack([s["image"] for s in samples]).astype(
+                np.float32
             )
-        for j, s in enumerate(samples):
-            wav = s["wav"]
-            if self.train and self.max_audio_len > 0:
-                wav = random_crop_max_length(wav, self.max_audio_len, rng=rng)
-            wav = wav[:bucket_len]
-            batch["wav"][j, : len(wav)] = wav
-            batch["wav_len"][j] = len(wav)
-            batch["id"][j] = s["id"]
-            if has_image:
-                batch["image"][j] = s["image"]
-            if has_text:
-                batch["text"][j] = s["text"]
+        if has_text:
+            batch["text"] = np.stack([s["text"] for s in samples]).astype(
+                np.int64
+            )
         return batch
