@@ -258,7 +258,9 @@ class SpokenCOCODataset(PairedDataset):
 DATASETS = {"flickr": FlickrDataset, "coco": SpokenCOCODataset}
 
 
-def build_dataset(data_cfg, split: str, tokenizer=None) -> PairedDataset:
+def build_dataset(
+    data_cfg, split: str, tokenizer=None, image_size: int = 224
+) -> PairedDataset:
     """Construct from the config block (config data.dataset schema)."""
     name = data_cfg.dataset.name
     modalities = ["audio", "image"]
@@ -272,5 +274,6 @@ def build_dataset(data_cfg, split: str, tokenizer=None) -> PairedDataset:
         text_file=data_cfg.dataset.get("text_file", "Flickr8k.token.txt"),
         split_prefix=data_cfg.dataset.get("split_prefix", "SpokenCOCO"),
         wav_rm_silence=data_cfg.dataset.get("wav_rm_silence", False),
+        image_size=data_cfg.dataset.get("image_size", image_size),
         tokenizer=tokenizer,
     )

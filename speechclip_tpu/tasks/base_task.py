@@ -30,6 +30,14 @@ class BaseTask:
             help="config overrides: key.path=value",
         )
         parser.add_argument("--devices", type=int, default=None)
+        parser.add_argument(
+            "--platform",
+            type=str,
+            default=None,
+            help="force a jax platform (e.g. cpu); must be handled before "
+            "any backend use — this environment pins JAX_PLATFORMS in "
+            "sitecustomize, so the env var alone is not sufficient",
+        )
         return parser
 
     def parse_args(self, parser: argparse.ArgumentParser):

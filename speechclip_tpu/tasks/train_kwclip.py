@@ -53,6 +53,8 @@ def _build_tokenizer(config):
 class TrainKWClip_GeneralTransformer(BaseTask):
     def run(self):
         args = self.args
+        if getattr(args, "platform", None):
+            jax.config.update("jax_platforms", args.platform)
         set_logging(args.log_level)
         _seed_everything(args.seed)
 

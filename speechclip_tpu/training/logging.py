@@ -18,9 +18,12 @@ from typing import Dict, Optional
 
 
 def set_logging(level: str = "INFO") -> None:
+    # force=True: jax/absl may have installed root handlers already, which
+    # would make a plain basicConfig a silent no-op
     logging.basicConfig(
         level=getattr(logging, str(level).upper(), logging.INFO),
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+        force=True,
     )
 
 

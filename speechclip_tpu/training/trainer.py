@@ -107,9 +107,14 @@ class Trainer:
     # ------------------------------------------------------------------ data
     def build_loaders(self):
         data_cfg = self.config.data
-        train_ds = build_dataset(data_cfg, "train", self.tokenizer)
+        image_size = self.model.clip_cfg.vision.image_size
+        train_ds = build_dataset(
+            data_cfg, "train", self.tokenizer, image_size=image_size
+        )
         dev_split = "dev" if data_cfg.dataset.name == "flickr" else "val"
-        dev_ds = build_dataset(data_cfg, dev_split, self.tokenizer)
+        dev_ds = build_dataset(
+            data_cfg, dev_split, self.tokenizer, image_size=image_size
+        )
         max_audio_len = int(
             self.config.get_path("audio_encoder.max_audio_len", 102400)
         )
@@ -131,6 +136,12 @@ class Trainer:
     # ------------------------------------------------------------------- fit
     def fit(self, resume: Optional[str] = None) -> TrainState:
         state = create_train_state(self.model, self.tx, jax.random.key(self.seed))
+        if resume == "auto":
+            # elastic restart: pick up the run's own last checkpoint if one
+            # exists (the reference's only recovery story is --resume,
+            # SURVEY.md §5; auto mode removes the manual step)
+            last = os.path.join(self.workdir, "ckpts", "last")
+            resume = last if os.path.exists(last) else None
         if resume:
             state = self.ckpt.restore(resume, state)
             logger.info("resumed from %s at step %d", resume, int(state.step))

@@ -1,0 +1,128 @@
+"""CLI end-to-end smoke test: run_task.py over a synthetic corpus in a
+subprocess (the reference CLI contract, run_task.py:11-21)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from tests.test_data import write_jpg, write_wav
+from tests.test_models import tiny_speechclip_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def cli_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_corpus")
+    (root / "flickr_audio" / "wavs").mkdir(parents=True)
+    (root / "Images").mkdir()
+    captions = []
+    for i in range(8):
+        name = f"cl{i:03d}"
+        write_jpg(root / "Images" / f"{name}.jpg", size=48, seed=i)
+        write_wav(
+            root / "flickr_audio" / "wavs" / f"{name}_0.wav", 1600 + 100 * i, seed=i
+        )
+        captions.append(f"{name}.jpg#0\tcli caption {i} .")
+    (root / "Flickr8k.token.txt").write_text("\n".join(captions))
+    (root / "Flickr_8k.trainImages.txt").write_text(
+        "\n".join(f"cl{i:03d}.jpg" for i in range(6))
+    )
+    (root / "Flickr_8k.devImages.txt").write_text(
+        "\n".join(f"cl{i:03d}.jpg" for i in range(6, 8))
+    )
+
+    cfg = tiny_speechclip_config(tmp_path_factory.mktemp("cli_vocab"))
+    exp = tmp_path_factory.mktemp("cli_exp")
+    cfg.merge_(
+        {
+            "data": {
+                "dataset": {
+                    "name": "flickr",
+                    "dataset_root": str(root),
+                    "text_file": "Flickr8k.token.txt",
+                    "load_image": True,
+                    "load_audio": True,
+                    "tokenizeText": False,
+                },
+                "batch_size": 4,
+                "dev_batch_size": 4,
+            },
+            "audio_encoder": {
+                "max_audio_len": 2400,
+                "optim": {"name": "Adam", "args": {"lr": 1e-3, "weight_decay": 0}},
+                "scheduler": {
+                    "name": "linear_warmup_decay",
+                    "warmup": 2,
+                    "max_step": 10,
+                    "final_lr": 1e-8,
+                },
+            },
+            "trainer": {
+                "max_steps": 1,
+                "gradient_clip_val": 4,
+                "check_val_every_n_epoch": 1,
+                "precision": 32,
+                "logger": "none",
+                "log_every_n_steps": 1,
+                "default_root_dir": str(exp / "run"),
+            },
+            "log_setting": {"log_detokenize_results": False},
+        }
+    )
+    # the tiny CLIP tower takes 32x32 images: datasets must decode at 32
+    cfg_path = exp / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg.to_dict(), sort_keys=False))
+    return cfg_path, exp
+
+
+def run_cli(*args):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_task.py"), *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+        timeout=600,
+    )
+
+
+@pytest.mark.slow
+class TestCLI:
+    def test_train_then_test(self, cli_setup):
+        cfg_path, exp = cli_setup
+        result = run_cli(
+            "TrainKWClip_GeneralTransformer",
+            "--config",
+            str(cfg_path),
+            "--train",
+            "--platform",
+            "cpu",
+            "--override",
+            "data.dataset.image_size=32",
+        )
+        assert result.returncode == 0, result.stderr[-3000:]
+        ckpt_last = exp / "run" / "ckpts" / "last"
+        assert ckpt_last.exists(), result.stderr[-2000:]
+
+        result = run_cli(
+            "TrainKWClip_GeneralTransformer",
+            "--config",
+            str(cfg_path),
+            "--test",
+            "--resume",
+            str(ckpt_last),
+            "--platform",
+            "cpu",
+        )
+        assert result.returncode == 0, result.stderr[-3000:]
+        assert "validation metrics" in result.stderr or "recall" in result.stderr
