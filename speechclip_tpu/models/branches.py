@@ -233,6 +233,45 @@ def cascaded_branch_hidden_states(
     return tuple(h[:, kw_num:] for h in hiddens)
 
 
+def project_keywords_for_visualization(
+    params: Params,
+    state: Params,
+    branch_cfg,
+    audio_feat: jnp.ndarray,
+    audio_len: jnp.ndarray,
+) -> jnp.ndarray:
+    """Keywords after transformer+projection+kw-BN, pre-VQ (eval mode) —
+    what reference getAttentionMap scores against the embedding table
+    (kwClip.py:951-973)."""
+    bsz, t, _ = audio_feat.shape
+    kw_num = branch_cfg.keyword.number
+    cls = jnp.broadcast_to(
+        params["cls"].astype(audio_feat.dtype), (bsz,) + params["cls"].shape[1:]
+    )
+    src = jnp.concatenate([cls, audio_feat], axis=1)
+    kpm = key_padding_mask(audio_len + kw_num, t + kw_num)
+    out = branch_transformer_apply(
+        params["transformer"],
+        branch_cfg.transformer_type,
+        branch_cfg.transformer_args,
+        src,
+        kpm,
+        key_valid_lens=audio_len + kw_num,
+    )
+    keywords = _project_keywords(params, branch_cfg, out[:, :kw_num], None, False)
+    if "bn" in params:
+        bn_cfg = branch_cfg.keyword.batchnorms
+        keywords, _ = kw_bn_apply(
+            params["bn"],
+            state["bn"],
+            keywords,
+            batchnorm_type=bn_cfg.type,
+            parallel=bn_cfg.get("parallel", False),
+            train=False,
+        )
+    return keywords
+
+
 def cascaded_branch_attention_map(
     params: Params,
     branch_cfg,

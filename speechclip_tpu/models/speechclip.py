@@ -517,6 +517,70 @@ class SpeechCLIPModel:
             audio_len,
         )
 
+    def get_attention_map(
+        self,
+        params: Params,
+        state: Params,
+        wav: jnp.ndarray,
+        wav_len: jnp.ndarray,
+        tokenizer=None,
+        top_k: int = 10,
+    ):
+        """Full visualization contract of reference getAttentionMap
+        (kwClip.py:918-1001): per-sample CLS attention maps trimmed to the
+        valid length, plus each keyword's top-k nearest subwords (special
+        tokens suppressed) decoded to strings when a tokenizer is given.
+
+        -> (cls_weights: list of (H, K, K+len_i) arrays, topk_kw: list of
+        [keyword][k] subword strings or reduced ids)
+        """
+        audio_feat, audio_len = self.forward_audio(params, wav, wav_len)
+        branch_cfg = self.config.model_settings.cascaded_branch
+        weights = branches.cascaded_branch_attention_map(
+            params["cascaded_branch"], branch_cfg, audio_feat, audio_len
+        )
+        keywords = branches.project_keywords_for_visualization(
+            params["cascaded_branch"],
+            state.get("cascaded_branch", {}),
+            branch_cfg,
+            audio_feat,
+            audio_len,
+        )
+        emb_table = params["clip"]["text"]["token_embedding"]
+        scores = branches.cosine_scores(keywords, emb_table)
+        # suppress special tokens (reference :975-977 subtracts 100)
+        for tok in (0, 2, 3):
+            scores = scores.at[..., tok].add(-100.0)
+        _, top_ids = jax.lax.top_k(scores, top_k)
+
+        weights_np = np.asarray(jax.device_get(weights))
+        lens_np = np.asarray(jax.device_get(audio_len))
+        ids_np = np.asarray(jax.device_get(top_ids))
+        cls_weights = [
+            weights_np[i, :, :, : int(lens_np[i]) + self.keyword_num]
+            for i in range(weights_np.shape[0])
+        ]
+        topk_kw = []
+        for b in range(ids_np.shape[0]):
+            per_kw = []
+            for k in range(ids_np.shape[1]):
+                row = []
+                for idx in ids_np[b, k]:
+                    orig = (
+                        self.reduced_vocab.reduced_to_original[int(idx)]
+                        if self.reduced_vocab is not None
+                        else int(idx)
+                    )
+                    if tokenizer is not None:
+                        row.append(
+                            tokenizer.decoder[orig].replace("</w>", "")
+                        )
+                    else:
+                        row.append(orig)
+                per_kw.append(row)
+            topk_kw.append(per_kw)
+        return cls_weights, topk_kw
+
     # ------------------------------------------------------ trainable mask
     def trainable_mask(self, params: Params) -> Params:
         """Boolean pytree: True = optimized. Mirrors getTrainableParams

@@ -474,3 +474,22 @@ class TestSpeechCLIPModel:
         assert w.shape[0] == 2 and w.shape[1] == 1 and w.shape[2] == 4
         sums = np.asarray(jnp.sum(w, axis=-1))
         np.testing.assert_allclose(sums, 1.0, atol=1e-4)
+
+    def test_attention_map_visualization(self, model):
+        """Full getAttentionMap contract: per-sample trimmed maps + top-k
+        nearest subwords with specials suppressed (reference :918-1001)."""
+        params, state = model.init(jax.random.key(0))
+        batch = self.make_batch(2)
+        cls_w, topk = model.get_attention_map(
+            params, state, batch["wav"][:2], batch["wav_len"][:2], top_k=5
+        )
+        assert len(cls_w) == 2
+        # trimmed to len_i + K; round(2000/20)=100 clamps to the 99 conv
+        # frames, round(1500/20)=75
+        feat_lens = [99, 75]
+        for w, fl in zip(cls_w, feat_lens):
+            assert w.shape == (1, 4, fl + 4)
+        assert len(topk) == 2 and len(topk[0]) == 4 and len(topk[0][0]) == 5
+        # specials (reduced ids of 0,2,3) suppressed
+        flat = {i for kw in topk[0] for i in kw}
+        assert not flat & {0, 2, 3}
