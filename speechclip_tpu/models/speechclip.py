@@ -202,6 +202,21 @@ class SpeechCLIPModel:
                 log.info("loaded HuBERT weights from %s", ae_path)
             else:
                 log.warning("HuBERT checkpoint %s not found; random init", ae_path)
+        reinit = list(self.config.audio_encoder.get("reinit_layers", []) or [])
+        if reinit:
+            # re-randomize the selected encoder layers (reference
+            # speech_encoder_plus.py:417-424)
+            import jax as _jax
+
+            fresh = hubert.hubert_init(_jax.random.key(0), self.audio_cfg)
+            ae = dict(params["audio_encoder"])
+            layers = list(ae["encoder"]["layers"])
+            for i in reinit:
+                layers[i] = fresh["encoder"]["layers"][i]
+            ae["encoder"] = dict(ae["encoder"])
+            ae["encoder"]["layers"] = layers
+            params["audio_encoder"] = ae
+            log.info("reinitialized HuBERT encoder layers %s", reinit)
         clip_path = self.config.clip.get("pretrained_path")
         if clip_path:
             if os.path.exists(clip_path):
@@ -592,12 +607,32 @@ class SpeechCLIPModel:
         def mask_subtree(tree, value):
             return jax.tree.map(lambda _: value, tree)
 
+        reinit_layers = list(cfg.audio_encoder.get("reinit_layers", []) or [])
+        unfreeze_layers = list(cfg.audio_encoder.get("unfreeze_layers", []) or [])
+        assert not (reinit_layers and unfreeze_layers)
+
         mask = {}
         for key, sub in params.items():
             if key == "audio_encoder":
-                mask[key] = mask_subtree(
-                    sub, bool(cfg.audio_encoder.get("trainable", False))
-                )
+                trainable = bool(cfg.audio_encoder.get("trainable", False))
+                selected = reinit_layers or unfreeze_layers
+                if trainable and selected:
+                    # partial fine-tune: only the selected encoder layers
+                    # (plus the top LayerNorm for post-norm models when
+                    # reinitializing) move — reference trainable_params
+                    # contract (speech_encoder_plus.py:478-494)
+                    m = mask_subtree(sub, False)
+                    for i in selected:
+                        m["encoder"]["layers"][i] = mask_subtree(
+                            sub["encoder"]["layers"][i], True
+                        )
+                    if reinit_layers and not self.audio_cfg.layer_norm_first:
+                        m["encoder"]["layer_norm"] = mask_subtree(
+                            sub["encoder"]["layer_norm"], True
+                        )
+                    mask[key] = m
+                else:
+                    mask[key] = mask_subtree(sub, trainable)
             elif key == "clip":
                 img_t = bool(cfg.clip.get("image_encoder_trainable", False))
                 txt_t = bool(cfg.clip.get("text_encoder_trainable", False))
