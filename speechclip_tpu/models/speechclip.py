@@ -116,32 +116,51 @@ class SpeechCLIPModel:
         self.recall_at = cfg.get_path("retrieval.recall_at", [1, 5, 10])
 
         cl = cfg.cl_loss
-        if cl.type != "MaskedContrastiveLoss":
-            raise NotImplementedError(
-                "KWClip path supports MaskedContrastiveLoss (as the reference "
-                "does in practice; its compute_loss calls the masked-loss "
-                "signature, kwClip.py:1276-1295)"
+        self.loss_type = cl.type
+        if cl.type == "MaskedContrastiveLoss":
+            self.loss_kwargs = dict(
+                temperature=cl.args.get("temperature", 0.07),
+                temperature_trainable=cl.args.get("temperature_trainable", False),
+                margin=cl.args.get("margin", 0.0),
+                dcl=cl.args.get("dcl", False),
+                a2b=cl.args.get("a2b", True),
+                b2a=cl.args.get("b2a", True),
             )
-        self.loss_kwargs = dict(
-            temperature=cl.args.get("temperature", 0.07),
-            temperature_trainable=cl.args.get("temperature_trainable", False),
-            margin=cl.args.get("margin", 0.0),
-            dcl=cl.args.get("dcl", False),
-            a2b=cl.args.get("a2b", True),
-            b2a=cl.args.get("b2a", True),
-        )
+        elif cl.type == "SupConLoss":
+            # the reference exports SupConLoss but its KWClip compute_loss
+            # only speaks the masked-loss signature (kwClip.py:1276-1295 —
+            # selecting SupConLoss there would crash); here it is wired as
+            # (audio, image) two-view supervised contrast with pair-id labels
+            self.loss_kwargs = dict(
+                temperature=cl.args.get("temperature", 0.07),
+                temperature_trainable=cl.args.get(
+                    "learnable_temperature", cl.args.get("temperature_trainable", False)
+                ),
+                base_temperature=cl.args.get("base_temperature", 0.07),
+                contrast_mode=cl.args.get("contrast_mode", "all"),
+            )
+        else:
+            raise NotImplementedError(f"cl_loss type {cl.type}")
 
     # ------------------------------------------------------------------ init
     def init(self, rng: jax.Array) -> Tuple[Params, Params]:
         cfg = self.config
         keys = jax.random.split(rng, 8)
+        if self.loss_type == "MaskedContrastiveLoss":
+            criterion = contrastive_temp_init(
+                self.loss_kwargs["temperature"],
+                self.loss_kwargs["temperature_trainable"],
+            )
+        else:  # SupConLoss: direct temperature parameter (losses.py:26-34)
+            criterion = (
+                {"temp": jnp.asarray(self.loss_kwargs["temperature"], jnp.float32)}
+                if self.loss_kwargs["temperature_trainable"]
+                else {}
+            )
         params: Params = {
             "audio_encoder": hubert.hubert_init(keys[0], self.audio_cfg),
             "clip": clip_mod.clip_init(keys[1], self.clip_cfg),
-            "criterion": contrastive_temp_init(
-                self.loss_kwargs["temperature"],
-                self.loss_kwargs["temperature_trainable"],
-            ),
+            "criterion": criterion,
         }
         state: Params = {}
         if self.reduced_vocab is not None:
@@ -405,11 +424,7 @@ class SpeechCLIPModel:
             loss_feats["parallel_audio_feat"] = parallel_audio_feat
         if self.use_cascaded:
             log_metrics["softmax_temp"] = vq_results["temp"]
-        log_metrics["cl_temp"] = 1.0 / contrastive_temperature(
-            params["criterion"],
-            self.loss_kwargs["temperature"],
-            self.loss_kwargs["temperature_trainable"],
-        )
+        log_metrics["cl_temp"] = self._current_cl_temperature(params)
         others = {
             "cascaded_audio_feat": cascaded_audio_feat,
             "parallel_audio_feat": parallel_audio_feat,
@@ -421,6 +436,33 @@ class SpeechCLIPModel:
         return loss_feats, log_metrics, others, new_state
 
     # ---------------------------------------------------------------- loss
+    def _current_cl_temperature(self, params: Params) -> jnp.ndarray:
+        if self.loss_type == "MaskedContrastiveLoss":
+            return 1.0 / contrastive_temperature(
+                params["criterion"],
+                self.loss_kwargs["temperature"],
+                self.loss_kwargs["temperature_trainable"],
+            )
+        if self.loss_kwargs["temperature_trainable"]:
+            return params["criterion"]["temp"]
+        return jnp.asarray(self.loss_kwargs["temperature"], jnp.float32)
+
+    def _pair_loss(self, params, audio_feat, image_feat, ids) -> jnp.ndarray:
+        if self.loss_type == "MaskedContrastiveLoss":
+            return masked_contrastive_loss(
+                params["criterion"], audio_feat, image_feat, ids, **self.loss_kwargs
+            )
+        from ..ops.losses import supcon_loss
+
+        features = jnp.stack([audio_feat, image_feat], axis=1)
+        return supcon_loss(
+            features,
+            temperature=self._current_cl_temperature(params),
+            labels=ids,
+            contrast_mode=self.loss_kwargs["contrast_mode"],
+            base_temperature=self.loss_kwargs["base_temperature"],
+        )
+
     def compute_loss(self, params: Params, loss_feats: Dict) -> Dict:
         """(reference compute_loss :1248-1297) — global-batch math; under
         pjit the batch axis may be sharded and XLA gathers as needed."""
@@ -429,23 +471,21 @@ class SpeechCLIPModel:
         image_feat = loss_feats["image_feat"].astype(jnp.float32)
         losses = {"loss": jnp.zeros((), jnp.float32)}
         if ms.get("cascaded_objective_weight", 0.0) > 0:
-            losses["c_cl_loss"] = masked_contrastive_loss(
-                params["criterion"],
+            losses["c_cl_loss"] = self._pair_loss(
+                params,
                 loss_feats["cascaded_audio_feat"].astype(jnp.float32),
                 image_feat,
                 ids,
-                **self.loss_kwargs,
             )
             losses["loss"] = (
                 losses["loss"] + ms.cascaded_objective_weight * losses["c_cl_loss"]
             )
         if ms.get("parallel_objective_weight", 0.0) > 0:
-            losses["p_cl_loss"] = masked_contrastive_loss(
-                params["criterion"],
+            losses["p_cl_loss"] = self._pair_loss(
+                params,
                 loss_feats["parallel_audio_feat"].astype(jnp.float32),
                 image_feat,
                 ids,
-                **self.loss_kwargs,
             )
             losses["loss"] = (
                 losses["loss"] + ms.parallel_objective_weight * losses["p_cl_loss"]

@@ -172,19 +172,27 @@ def multi_head_attention(
     """
     d_model = query.shape[-1]
     in_w, in_b = params["in_proj"]["w"], params["in_proj"]["b"]
-    wq, wk, wv = jnp.split(in_w, 3, axis=1)
-    if in_b is not None:
-        bq, bk, bv = jnp.split(in_b, 3)
-    else:
-        bq = bk = bv = None
 
     def proj(x, w, b):
         y = x @ w.astype(x.dtype)
         return y if b is None else y + b.astype(x.dtype)
 
-    q = _split_heads(proj(query, wq, bq), num_heads)
-    k = _split_heads(proj(key, wk, bk), num_heads)
-    v = _split_heads(proj(value, wv, bv), num_heads)
+    if query is key and key is value:
+        # self-attention: one fused (D, 3D) matmul instead of three
+        qkv = proj(query, in_w, in_b)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        wq, wk, wv = jnp.split(in_w, 3, axis=1)
+        if in_b is not None:
+            bq, bk, bv = jnp.split(in_b, 3)
+        else:
+            bq = bk = bv = None
+        q = proj(query, wq, bq)
+        k = proj(key, wk, bk)
+        v = proj(value, wv, bv)
+    q = _split_heads(q, num_heads)
+    k = _split_heads(k, num_heads)
+    v = _split_heads(v, num_heads)
 
     want_weights = need_weights or (train and dropout_rate > 0)
     if not want_weights and _flash_eligible(

@@ -493,3 +493,57 @@ class TestSpeechCLIPModel:
         # specials (reduced ids of 0,2,3) suppressed
         flat = {i for kw in topk[0] for i in kw}
         assert not flat & {0, 2, 3}
+
+
+class TestLossVariantsAndFinetune:
+    def test_supcon_loss_path(self, tmp_path):
+        cfg = tiny_speechclip_config(tmp_path)
+        cfg.cl_loss = {
+            "type": "SupConLoss",
+            "args": {
+                "temperature": 0.07,
+                "base_temperature": 0.07,
+                "contrast_mode": "all",
+                "learnable_temperature": True,
+            },
+        }
+        model = SpeechCLIPModel(cfg)
+        params, state = model.init(jax.random.key(0))
+        assert "temp" in params["criterion"]
+        rng = np.random.default_rng(8)
+        batch = {
+            "wav": jnp.asarray(rng.standard_normal((4, 2000)).astype(np.float32)),
+            "wav_len": jnp.asarray(np.full(4, 2000)),
+            "image": jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32)),
+            "id": jnp.asarray(np.array([0, 0, 1, 2])),
+        }
+        loss_feats, log_metrics, _, _ = model.forward(params, state, batch)
+        losses = model.compute_loss(params, loss_feats)
+        assert np.isfinite(float(losses["loss"]))
+        assert float(log_metrics["cl_temp"]) == pytest.approx(0.07)
+
+    def test_trainable_audio_encoder_grads(self, tmp_path):
+        cfg = tiny_speechclip_config(tmp_path, cascaded=0.0)
+        cfg.audio_encoder.trainable = True
+        model = SpeechCLIPModel(cfg)
+        params, state = model.init(jax.random.key(0))
+        rng = np.random.default_rng(9)
+        batch = {
+            "wav": jnp.asarray(rng.standard_normal((4, 2000)).astype(np.float32)),
+            "wav_len": jnp.asarray(np.full(4, 2000)),
+            "image": jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32)),
+            "id": jnp.asarray(np.arange(4)),
+        }
+
+        def loss_fn(p):
+            loss_feats, _, _, _ = model.forward(p, state, batch)
+            return model.compute_loss(p, loss_feats)["loss"]
+
+        grads = jax.grad(loss_fn)(params)
+        g = sum(
+            float(jnp.abs(x).sum())
+            for x in jax.tree.leaves(grads["audio_encoder"])
+        )
+        assert g > 0  # gradients flow into the encoder when trainable
+        mask = model.trainable_mask(params)
+        assert all(jax.tree.leaves(mask["audio_encoder"]))
