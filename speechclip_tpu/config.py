@@ -51,6 +51,14 @@ class ConfigNode(dict):
     def __setitem__(self, key: str, value: Any) -> None:
         super().__setitem__(key, _wrap(value))
 
+    def update(self, *args, **kwargs) -> None:  # type: ignore[override]
+        # dict.update would bypass _wrap and plant raw dicts in the tree
+        for src in args:
+            for k, v in (src.items() if isinstance(src, Mapping) else src):
+                self[k] = v
+        for k, v in kwargs.items():
+            self[k] = v
+
     # -- merging -------------------------------------------------------------
     def merge_(self, other: Any) -> "ConfigNode":
         """Deep-merge ``other`` into self (in place). Later wins.

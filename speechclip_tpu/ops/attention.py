@@ -170,7 +170,6 @@ def multi_head_attention(
     averaged over heads else (B, H, L, S) — matching
     nn.MultiheadAttention(batch_first=True).
     """
-    d_model = query.shape[-1]
     in_w, in_b = params["in_proj"]["w"], params["in_proj"]["b"]
 
     def proj(x, w, b):

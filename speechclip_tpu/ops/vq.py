@@ -88,7 +88,6 @@ def vq_apply(
 
     # mask special tokens (sot/eot/pad analogues) out of the distribution
     if prob_mask:
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, num_vars), 2)
         masked = jnp.zeros((num_vars,), bool)
         for i in prob_mask:
             masked = masked.at[i].set(True)
