@@ -52,12 +52,26 @@ class ConfigNode(dict):
         super().__setitem__(key, _wrap(value))
 
     def update(self, *args, **kwargs) -> None:  # type: ignore[override]
-        # dict.update would bypass _wrap and plant raw dicts in the tree
+        # dict.update would bypass _wrap and plant raw dicts in the tree;
+        # honor the keys()-protocol like dict.update does
         for src in args:
-            for k, v in (src.items() if isinstance(src, Mapping) else src):
-                self[k] = v
+            if hasattr(src, "keys"):
+                for k in src.keys():
+                    self[k] = src[k]
+            else:
+                for k, v in src:
+                    self[k] = v
         for k, v in kwargs.items():
             self[k] = v
+
+    def setdefault(self, key: str, default: Any = None) -> Any:
+        if key not in self:
+            self[key] = default  # goes through __setitem__ -> _wrap
+        return self[key]
+
+    def __ior__(self, other):  # cfg |= {...} must wrap too
+        self.update(other)
+        return self
 
     # -- merging -------------------------------------------------------------
     def merge_(self, other: Any) -> "ConfigNode":
