@@ -128,11 +128,15 @@ class BucketedLoader:
         if self.train:
             rng.shuffle(plans)
 
+        # np.random.Generator is not thread-safe: give each (double-buffered)
+        # _assemble call its own child generator
+        plan_rngs = [np.random.default_rng(seq) for seq in rng.spawn(len(plans))]
+
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             # double-buffer: assemble batch k+1 while k is consumed
             pending = None
-            for plan in plans:
-                fut = pool.submit(self._assemble, plan, rng)
+            for plan, plan_rng in zip(plans, plan_rngs):
+                fut = pool.submit(self._assemble, plan, plan_rng)
                 if pending is not None:
                     yield pending.result()
                 pending = fut
@@ -159,8 +163,10 @@ class BucketedLoader:
                 full = np.minimum(self._lengths[indices], 10**12)
                 crop = np.minimum(full, self.max_audio_len)
                 room = np.maximum(full - crop, 0)
+                # high-exclusive to match random_crop_max_length (and the
+                # reference audio_transforms.py:22 np.random.randint)
                 offsets = np.array(
-                    [rng.integers(0, r + 1) if r > 0 else 0 for r in room],
+                    [rng.integers(0, r) if r > 0 else 0 for r in room],
                     np.int64,
                 )
             wav, wav_len = native_mod.decode_wav_batch(

@@ -189,14 +189,17 @@ class SpeechCLIPModel:
                 self.audio_embd_dim,
                 self.clip_cfg.embed_dim,
             )
-        for key, cfg_key in [
-            ("img_enc_proj", "image_encoder_projection"),
-            ("p_branch_proj", "parallel_branch_projection"),
-            ("c_branch_proj", "cascaded_branch_projection"),
-        ]:
+        for (key, cfg_key), proj_rng in zip(
+            [
+                ("img_enc_proj", "image_encoder_projection"),
+                ("p_branch_proj", "parallel_branch_projection"),
+                ("c_branch_proj", "cascaded_branch_projection"),
+            ],
+            keys[4:7],
+        ):
             proj_cfg = cfg.model_settings.get(cfg_key)
             if proj_cfg is not None:
-                params[key] = mlp_init(keys[4], proj_cfg.dimensions)
+                params[key] = mlp_init(proj_rng, proj_cfg.dimensions)
         return params, state
 
     def load_pretrained(self, params: Params) -> Params:
@@ -345,9 +348,11 @@ class SpeechCLIPModel:
         compute_loss (the reference's training_step/step_end contract).
         """
         if rng is not None:
-            r_audio, r_img, r_casc, r_par, r_proj = jax.random.split(rng, 5)
+            r_audio, r_img, r_casc, r_par, r_cproj, r_pproj = jax.random.split(
+                rng, 6
+            )
         else:
-            r_audio = r_img = r_casc = r_par = r_proj = None
+            r_audio = r_img = r_casc = r_par = r_cproj = r_pproj = None
 
         audio_feat, audio_len = self.forward_audio(
             params, batch["wav"], batch["wav_len"], rng=r_audio, train=train
@@ -390,7 +395,7 @@ class SpeechCLIPModel:
                     params["c_branch_proj"],
                     cascaded_audio_feat,
                     dropout_rate=proj_cfg.get("dropout", 0.1),
-                    rng=r_proj,
+                    rng=r_cproj,
                     train=train,
                 )
 
@@ -409,7 +414,7 @@ class SpeechCLIPModel:
                     params["p_branch_proj"],
                     parallel_audio_feat,
                     dropout_rate=proj_cfg.get("dropout", 0.1),
-                    rng=r_proj,
+                    rng=r_pproj,
                     train=train,
                 )
 
@@ -515,6 +520,8 @@ class SpeechCLIPModel:
                 audio_feat,
                 audio_len,
             )
+            if "c_branch_proj" in params:
+                feat = mlp_apply(params["c_branch_proj"], feat)
             out["cascaded_audio_feat"] = l2_normalize(feat.astype(jnp.float32))
             out["vq_results"] = vq_results
             out["keywords"] = keywords

@@ -58,17 +58,18 @@ class TrainKWClip_GeneralTransformer(BaseTask):
         set_logging(args.log_level)
         _seed_everything(args.seed)
 
-        is_reference_ckpt = bool(
-            (args.resume or args.ckpt or "").endswith(".ckpt")
-        )
+        ckpt_arg = args.resume or args.ckpt
+        is_reference_ckpt = bool((ckpt_arg or "").endswith(".ckpt"))
         reference_state = None
-        if args.resume and is_reference_ckpt:
+        if ckpt_arg and is_reference_ckpt:
             from ..convert.reference_ckpt import load_reference_checkpoint
 
-            params, model_state, config = load_reference_checkpoint(args.resume)
+            params, model_state, config = load_reference_checkpoint(ckpt_arg)
             reference_state = (params, model_state)
             config.update({k: v for k, v in vars(args).items() if v is not None})
             config = ConfigNode(config)
+            if args.config:  # explicit YAML wins over the pickled config
+                config.merge_(load_config(args.config, overrides=args.override))
         elif args.resume:
             config = load_config_from_checkpoint(args.resume)
         else:
@@ -94,7 +95,15 @@ class TrainKWClip_GeneralTransformer(BaseTask):
         self.config = config
 
         if args.train:
-            trainer.fit(resume=None if is_reference_ckpt else args.resume)
+            if reference_state is not None:
+                # warm-start from the converted reference weights (fresh
+                # optimizer state; Lightning optimizer state is torch-specific)
+                params, model_state = reference_state
+                trainer.fit(
+                    initial_params=params, initial_model_state=model_state
+                )
+            else:
+                trainer.fit(resume=args.resume)
         elif args.eval or args.test:
             from ..training.optim import build_optimizer
             from ..training.train_step import create_train_state, place_state

@@ -42,9 +42,13 @@ class MetricsLogger:
         self._wandb = None
         if backend in ("tb", "tensorboard"):
             try:
-                from torch.utils.tensorboard import SummaryWriter
+                # tensorflow's summary writer keeps torch out of the runtime
+                # (architecture invariant: torch only in convert/ and tests)
+                import tensorflow as tf
 
-                self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
+                self._tb = tf.summary.create_file_writer(
+                    os.path.join(log_dir, "tb")
+                )
             except Exception as e:  # pragma: no cover
                 logging.getLogger(__name__).warning("tensorboard unavailable: %s", e)
         elif backend == "wandb":
@@ -74,14 +78,17 @@ class MetricsLogger:
         self._jsonl.write(json.dumps(record) + "\n")
         self._jsonl.flush()
         if self._tb is not None:
-            for k, v in flat.items():
-                self._tb.add_scalar(k, v, step)
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in flat.items():
+                    tf.summary.scalar(k, v, step=step)
         if self._wandb is not None:
             self._wandb.log(flat, step=step)
 
     def close(self) -> None:
         self._jsonl.close()
         if self._tb is not None:
-            self._tb.close()
+            self._tb.close()  # tf.summary writer supports close()
         if self._wandb is not None:
             self._wandb.finish()

@@ -83,11 +83,14 @@ class Trainer:
         self.mesh = make_mesh(devices=devices, model=model_axis)
         self.n_data = self.mesh.shape["data"]
 
-        params_template, _ = self.model.init(jax.random.key(self.seed))
-        self.tx, self.schedule = build_optimizer(
-            config, self.model.trainable_mask(params_template)
+        # derive the trainable mask from abstract shapes only — no need to
+        # materialize a full random model here
+        params_shapes = jax.eval_shape(
+            lambda: self.model.init(jax.random.key(0))[0]
         )
-        del params_template
+        self.tx, self.schedule = build_optimizer(
+            config, self.model.trainable_mask(params_shapes)
+        )
 
         self.ckpt = CheckpointManager(
             os.path.join(self.workdir, "ckpts"),
@@ -134,8 +137,23 @@ class Trainer:
         return train_loader, dev_loader
 
     # ------------------------------------------------------------------- fit
-    def fit(self, resume: Optional[str] = None) -> TrainState:
+    def fit(
+        self,
+        resume: Optional[str] = None,
+        initial_params=None,
+        initial_model_state=None,
+    ) -> TrainState:
+        """initial_params/model_state: warm-start weights (e.g. a converted
+        reference checkpoint) without optimizer state."""
         state = create_train_state(self.model, self.tx, jax.random.key(self.seed))
+        if initial_params is not None:
+            state = TrainState(
+                params=initial_params,
+                model_state=initial_model_state or state.model_state,
+                opt_state=self.tx.init(initial_params),
+                step=state.step,
+                rng=state.rng,
+            )
         if resume == "auto":
             # elastic restart: pick up the run's own last checkpoint if one
             # exists (the reference's only recovery story is --resume,
@@ -145,7 +163,7 @@ class Trainer:
         if resume:
             state = self.ckpt.restore(resume, state)
             logger.info("resumed from %s at step %d", resume, int(state.step))
-        else:
+        elif initial_params is None:
             state = TrainState(
                 params=self.model.load_pretrained(state.params),
                 model_state=state.model_state,
@@ -167,10 +185,18 @@ class Trainer:
         profile_steps = self.config.get_path("trainer.profile_steps")
         profile_dir = os.path.join(self.workdir, "profile")
 
+        if int(train_loader.batch_size) % self.n_data != 0:
+            raise ValueError(
+                f"data.batch_size={train_loader.batch_size} must be divisible "
+                f"by the data-mesh size {self.n_data} (otherwise no batch "
+                "could ever run)"
+            )
+
         step = int(jax.device_get(state.step))
         epoch = 0
         t_last = time.perf_counter()
         while step < max_steps:
+            steps_at_epoch_start = step
             for batch in train_loader:
                 if len(batch["id"]) % self.n_data != 0:
                     continue  # drop ragged trailing batch (drop_last default)
@@ -196,6 +222,11 @@ class Trainer:
                 if step >= max_steps:
                     break
             epoch += 1
+            if step == steps_at_epoch_start:
+                raise RuntimeError(
+                    "no training batch ran this epoch (dataset smaller than "
+                    "batch_size x data-mesh, or all batches ragged)"
+                )
             if epoch % val_every_epoch == 0 or step >= max_steps:
                 val_metrics = self.validate(state, dev_loader, epoch=epoch)
                 self.metrics_logger.log(val_metrics, step)
@@ -217,6 +248,7 @@ class Trainer:
         batch_size = loader.batch_size
         outputs: List[Dict] = []
         agg: Dict[str, List[float]] = {}
+        ragged_metrics: Dict[str, float] = {}
         for batch in loader:
             padded, n_valid = _pad_batch(batch, batch_size)
             out = self._eval_step(state, shard_batch(padded, self.mesh))
@@ -236,9 +268,22 @@ class Trainer:
                         for row in batch["text"][:n_valid]
                     ]
             outputs.append(rec)
-            for k, v in out["metrics"].items():
-                agg.setdefault(k, []).append(float(v))
+            if n_valid == batch_size:
+                # ragged batches are padded with dummy rows whose features
+                # would bias the loss metrics; keep only full batches for
+                # metric means (features above are trimmed and always kept)
+                for k, v in out["metrics"].items():
+                    agg.setdefault(k, []).append(float(v))
+            else:
+                ragged_metrics = {
+                    k: float(v) for k, v in out["metrics"].items()
+                }
 
+        if not agg and ragged_metrics:
+            # tiny dev sets can be all-ragged; better a padded-batch metric
+            # than none (retrieval metrics below are unaffected either way)
+            for k, v in ragged_metrics.items():
+                agg.setdefault(k, []).append(v)
         collected = collect_validation_outputs(outputs)
         recall_ab, recall_ba, recall_mean = retrieval_metrics(
             collected, self.model.recall_at
@@ -271,7 +316,9 @@ class Trainer:
             and "keywords" in collected
             and epoch % max(every_n, 1) == 0
         ):
-            emb = jax.device_get(state.params)["clip"]["text"]["token_embedding"]
+            emb = jax.device_get(
+                state.params["clip"]["text"]["token_embedding"]
+            )
             hits = run_keyword_diagnostics(
                 self.model,
                 collected,
