@@ -1,0 +1,99 @@
+"""Behavioral test: the full training stack actually LEARNS.
+
+A synthetic corpus of 8 (audio, image) pairs with deterministic signals:
+the frozen random CLIP tower maps each image to a fixed embedding; the
+trainable audio path (weighted sum + branch transformer + projection) must
+learn to match each waveform to its image. InfoNCE over the global batch
+should drive retrieval recall@1 to far above the 12.5% chance level within
+a few dozen steps — this catches any wiring bug (masking, loss alignment,
+optimizer masking, schedule) that shape tests cannot.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speechclip_tpu.models.speechclip import SpeechCLIPModel
+from speechclip_tpu.ops.retrieval import recall_at_k
+from speechclip_tpu.training import (
+    build_optimizer,
+    create_train_state,
+    jit_train_step,
+    make_train_step,
+)
+from tests.test_models import tiny_speechclip_config
+
+pytestmark = pytest.mark.slow
+
+N_PAIRS = 8
+WAV_LEN = 2000
+
+
+def make_corpus():
+    rng = np.random.default_rng(0)
+    t = np.arange(WAV_LEN) / 16000.0
+    wavs = np.stack(
+        [
+            np.sin(2 * np.pi * (200 + 150 * i) * t)
+            + 0.05 * rng.standard_normal(WAV_LEN)
+            for i in range(N_PAIRS)
+        ]
+    ).astype(np.float32)
+    images = rng.standard_normal((N_PAIRS, 32, 32, 3)).astype(np.float32)
+    return wavs, images
+
+
+def test_training_learns_retrieval(tmp_path):
+    cfg = tiny_speechclip_config(tmp_path, cascaded=0.0, parallel=1.0)
+    cfg.audio_encoder.optim = {
+        "name": "Adam",
+        "args": {"lr": 2e-3, "weight_decay": 0.0},
+    }
+    cfg.audio_encoder.scheduler = {
+        "name": "linear_warmup_decay",
+        "warmup": 5,
+        "max_step": 400,
+        "final_lr": 1e-4,
+    }
+    cfg.trainer.gradient_clip_val = 4
+    model = SpeechCLIPModel(cfg)
+    params, _ = model.init(jax.random.key(0))
+    tx, _ = build_optimizer(cfg, model.trainable_mask(params))
+    state = create_train_state(model, tx, jax.random.key(0))
+    step = jit_train_step(make_train_step(model, tx), donate=False)
+
+    wavs, images = make_corpus()
+    batch = {
+        "wav": jnp.asarray(wavs),
+        "wav_len": jnp.asarray(np.full(N_PAIRS, WAV_LEN)),
+        "image": jnp.asarray(images),
+        "id": jnp.asarray(np.arange(N_PAIRS)),
+    }
+
+    def recall(state):
+        loss_feats, _, others, _ = model.forward(state.params, state.model_state, batch)
+        scores = np.asarray(others["parallel_audio_feat"]) @ np.asarray(
+            others["image_feat"]
+        ).T
+        out = recall_at_k(
+            jnp.asarray(scores),
+            jnp.arange(N_PAIRS),
+            jnp.arange(N_PAIRS),
+            [1],
+        )
+        return out["recall@1"]
+
+    first_loss = None
+    for i in range(120):
+        state, metrics = step(state, batch)
+        if first_loss is None:
+            first_loss = float(metrics["train_loss"])
+    final_loss = float(metrics["train_loss"])
+    final_recall = recall(state)
+
+    assert np.isfinite(final_loss)
+    assert final_loss < first_loss * 0.5, (first_loss, final_loss)
+    # chance level is 12.5%; a working stack memorizes 8 pairs
+    assert final_recall >= 75.0, final_recall
