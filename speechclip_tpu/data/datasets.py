@@ -34,7 +34,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from .audio import read_wav, wav_num_samples
-from .image import load_image
+from .image import load_image, load_image_raw
 
 logger = logging.getLogger(__name__)
 
@@ -50,13 +50,17 @@ class PairedDataset:
         target_sr: int = 16_000,
         image_size: int = 224,
         tokenizer=None,
+        image_mode: str = "clip",  # "clip" (host preprocess) | "raw" (uint8,
+        # resize+normalize batched on device — BASELINE.json north star)
     ):
         assert modalities, "Dataset's modalities cannot be none"
+        assert image_mode in ("clip", "raw"), image_mode
         self.dataset_root = dataset_root
         self.split = split
         self.modalities = modalities
         self.target_sr = target_sr
         self.image_size = image_size
+        self.image_mode = image_mode
         self.tokenizer = tokenizer
         self.data: List[Dict] = []
 
@@ -83,7 +87,13 @@ class PairedDataset:
         if "wav" in entry and not skip_wav:
             out["wav"] = read_wav(entry["wav"], self.target_sr)
         if "image" in entry:
-            out["image"] = load_image(entry["image"], self.image_size)
+            if self.image_mode == "raw":
+                # cheap decode to a fixed uint8 square; the bicubic resize +
+                # normalize runs batched on device (data/image.py)
+                decode_size = max(self.image_size + 32, 256 * self.image_size // 224)
+                out["image"] = load_image_raw(entry["image"], decode_size)
+            else:
+                out["image"] = load_image(entry["image"], self.image_size)
         if "text" in entry:
             if self.tokenizer is not None:
                 out["text"] = self.tokenizer.tokenize(entry["text"])[0]
@@ -120,10 +130,12 @@ class FlickrDataset(PairedDataset):
         target_sr: int = 16_000,
         image_size: int = 224,
         tokenizer=None,
+        image_mode: str = "clip",
         **kwargs,
     ):
         super().__init__(
-            dataset_root, split, modalities, target_sr, image_size, tokenizer
+            dataset_root, split, modalities, target_sr, image_size, tokenizer,
+            image_mode,
         )
         image_list_txt = os.path.join(
             dataset_root, f"Flickr_8k.{split}Images.txt"
@@ -219,10 +231,12 @@ class SpokenCOCODataset(PairedDataset):
         target_sr: int = 16_000,
         image_size: int = 224,
         tokenizer=None,
+        image_mode: str = "clip",
         **kwargs,
     ):
         super().__init__(
-            dataset_root, split, modalities, target_sr, image_size, tokenizer
+            dataset_root, split, modalities, target_sr, image_size, tokenizer,
+            image_mode,
         )
         assert split in ("train", "val", "test")
         json_path = os.path.join(
@@ -276,4 +290,7 @@ def build_dataset(
         wav_rm_silence=data_cfg.dataset.get("wav_rm_silence", False),
         image_size=data_cfg.dataset.get("image_size", image_size),
         tokenizer=tokenizer,
+        image_mode=(
+            "raw" if data_cfg.dataset.get("on_device_preprocess", False) else "clip"
+        ),
     )

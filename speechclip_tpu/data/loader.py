@@ -219,8 +219,10 @@ class BucketedLoader:
             and not isinstance(samples[0]["text"], str)
         )
         if has_image:
-            batch["image"] = np.stack([s["image"] for s in samples]).astype(
-                np.float32
+            imgs = np.stack([s["image"] for s in samples])
+            # raw uint8 stays uint8 (device-side preprocess); else float32
+            batch["image"] = (
+                imgs if imgs.dtype == np.uint8 else imgs.astype(np.float32)
             )
         if has_text:
             batch["text"] = np.stack([s["text"] for s in samples]).astype(

@@ -305,7 +305,15 @@ class SpeechCLIPModel:
     def forward_image(
         self, params: Params, images: jnp.ndarray, rng=None, train: bool = False
     ) -> jnp.ndarray:
-        """(reference forward_image :504-527 + optional MLP projection :1400-1402)"""
+        """(reference forward_image :504-527 + optional MLP projection
+        :1400-1402). uint8 input takes the batched on-device resize+normalize
+        path (data/image.py device_clip_preprocess)."""
+        if images.dtype == jnp.uint8:
+            from ..data.image import device_clip_preprocess
+
+            images = device_clip_preprocess(
+                images, self.clip_cfg.vision.image_size
+            )
         images = images.astype(self.compute_dtype)
         feat = clip_mod.encode_image(params["clip"], self.clip_cfg, images)
         feat = jax.lax.stop_gradient(feat) if not self.config.clip.get(

@@ -177,3 +177,25 @@ class TestLoader:
         buckets = make_buckets(lengths, max_len=102400)
         assert all(b % 3200 == 0 for b in buckets)
         assert max(lengths.clip(max=102400)) <= max(buckets)
+
+
+class TestOnDeviceImagePath:
+    def test_raw_mode_end_to_end(self, flickr_root):
+        """data.dataset.on_device_preprocess: uint8 batches flow through the
+        loader and the model normalizes them on device."""
+        import jax
+        import jax.numpy as jnp
+
+        from speechclip_tpu.data.loader import BucketedLoader
+        from speechclip_tpu.data import FlickrDataset, device_clip_preprocess
+
+        ds = FlickrDataset(
+            str(flickr_root), ["audio", "image"], split="train",
+            image_size=32, image_mode="raw",
+        )
+        loader = BucketedLoader(ds, batch_size=4, train=False, num_workers=2)
+        batch = next(iter(loader))
+        assert batch["image"].dtype == np.uint8
+        out = device_clip_preprocess(jnp.asarray(batch["image"]), 32)
+        assert out.shape == (4, 32, 32, 3)
+        assert np.isfinite(np.asarray(out)).all()
