@@ -126,3 +126,30 @@ class TestCLI:
         )
         assert result.returncode == 0, result.stderr[-3000:]
         assert "validation metrics" in result.stderr or "recall" in result.stderr
+
+        # embedding-extraction example against the same checkpoint
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=4"
+        ).strip()
+        env["JAX_PLATFORMS"] = "cpu"
+        result = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                # force the cpu platform before example.main touches jax
+                "import jax, sys; jax.config.update('jax_platforms','cpu'); "
+                "sys.argv=['example.py','--ckpt', sys.argv[1]]; "
+                "import example; example.main()",
+                str(ckpt_last),
+            ],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            env=env,
+            timeout=600,
+        )
+        assert result.returncode == 0, result.stderr[-3000:]
+        assert "#hidden states" in result.stdout
+        assert "parallel_audio_feat" in result.stdout
