@@ -174,13 +174,23 @@ def hubert_init(rng: jax.Array, cfg: HubertConfig) -> Params:
 # ---------------------------------------------------------------------------
 def _group_norm_per_channel(x: jnp.ndarray, norm: Params) -> jnp.ndarray:
     """fairseq mode="default": GroupNorm(C, C) == per-channel instance norm
-    over time. x: (B, T, C)."""
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
-    y = y * norm["scale"] + norm["bias"]
-    return y.astype(x.dtype)
+    over time. x: (B, T, C).
+
+    Bandwidth note: this runs on the conv0 output (B, ~20k, 512) — the
+    largest activation in the model. Stats accumulate in f32 via reduction
+    dtype (no materialized f32 copy of x); the normalization itself applies
+    in the compute dtype with f32 per-channel scalars folded into one
+    multiply-add: y = x * a + b with a = scale/sqrt(var+eps),
+    b = bias - mean * a."""
+    mean = jnp.mean(x, axis=1, keepdims=True, dtype=jnp.float32)
+    mean_sq = jnp.mean(
+        jnp.square(x.astype(jnp.float32)), axis=1, keepdims=True,
+        dtype=jnp.float32,
+    )
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    a = norm["scale"] * jax.lax.rsqrt(var + 1e-5)  # (B, 1, C) f32
+    b = norm["bias"] - mean * a
+    return (x.astype(jnp.float32) * a + b).astype(x.dtype)
 
 
 def conv_feature_extractor(
