@@ -129,3 +129,29 @@ def test_eval_step(setup):
     assert out["image_feat"].shape == (4, 16)
     assert "val_loss" in out["metrics"]
     assert out["keywords"].shape[1] == 4
+
+
+def test_gradient_accumulation(setup):
+    """trainer.accumulate_grad_batches=2 (optax.MultiSteps): params move only
+    every second step and match a single large-batch-equivalent update
+    cadence (reference PL accumulate_grad_batches contract)."""
+    cfg, _ = setup
+    import copy
+
+    from speechclip_tpu.config import ConfigNode
+
+    cfg2 = ConfigNode(copy.deepcopy(cfg.to_dict()))
+    cfg2.trainer.accumulate_grad_batches = 2
+    model = SpeechCLIPModel(cfg2)
+    params, _ = model.init(jax.random.key(0))
+    tx, _ = build_optimizer(cfg2, model.trainable_mask(params))
+    state = create_train_state(model, tx, jax.random.key(0))
+    step = jit_train_step(make_train_step(model, tx), donate=False)
+    batch = make_batch()
+    w0 = np.asarray(state.params["weighted_sum"]["weights"])
+    state, _ = step(state, batch)
+    w1 = np.asarray(state.params["weighted_sum"]["weights"])
+    np.testing.assert_array_equal(w0, w1)  # first micro-batch: no update yet
+    state, _ = step(state, batch)
+    w2 = np.asarray(state.params["weighted_sum"]["weights"])
+    assert np.abs(w2 - w1).sum() > 0  # update applied on the second
