@@ -22,7 +22,7 @@ import numpy as np
 
 A100_BASELINE_UTT_PER_SEC = 250.0
 
-BATCH = 256
+BATCH = 512  # conv frontend chunked (conv_batch_chunk=256) to fit HBM
 WAV_LEN = 102400  # 6.4 s @ 16 kHz
 GALLERY = 5000
 STEPS = 8
@@ -39,6 +39,7 @@ def main():
 
     cfg = _flagship_config()
     cfg.model_settings.cascaded_objective_weight = 0.0  # flagship = parallel base
+    cfg.audio_encoder.conv_batch_chunk = 256  # bound conv0 intermediate
     model = SpeechCLIPModel(cfg)
     params, state = model.init(jax.random.key(0))
 

@@ -67,6 +67,13 @@ class HubertConfig:
     activation_dropout: float = 0.0
     layerdrop: float = 0.0
     downsample_rate: int = 320
+    # Batch chunk size for the conv frontend; 0 = whole batch at once.
+    # The conv0 intermediate (B, ~L/5, 512) is the largest activation in the
+    # model and is what bounds batch size (b512 at 6.4 s OOMs a v5e chip);
+    # chunking runs the 7-conv chain lax.map-sequentially over batch chunks
+    # so only one chunk's intermediates are live. Exact: every frontend op
+    # (convs, GN-as-instance-norm, LN, GELU) is per-sample.
+    conv_batch_chunk: int = 0
 
     @property
     def num_hidden_states(self) -> int:
@@ -202,7 +209,23 @@ def conv_feature_extractor(
     TPU note: XLA's native strided-conv lowering measures near MXU speed of
     light at these shapes in NWC layout (conv1 k=3 s=2 512ch: ~156 TFLOP/s
     bf16 on v5e); an im2col unfold+matmul reformulation was benchmarked 3-5x
-    slower — keep the native convs."""
+    slower — keep the native convs. Memory: ``cfg.conv_batch_chunk`` bounds
+    the live conv0 intermediate by running the chain over batch chunks."""
+    chunk = cfg.conv_batch_chunk
+    b = wav.shape[0]
+    if chunk and b > chunk:
+        pad = (-b) % chunk
+        if pad:
+            wav = jnp.concatenate([wav, jnp.zeros((pad, wav.shape[1]), wav.dtype)])
+        stacked = wav.reshape((b + pad) // chunk, chunk, wav.shape[1])
+        out = jax.lax.map(lambda w: _conv_chain(params, cfg, w), stacked)
+        return out.reshape(-1, *out.shape[2:])[:b]
+    return _conv_chain(params, cfg, wav)
+
+
+def _conv_chain(
+    params: List[Params], cfg: HubertConfig, wav: jnp.ndarray
+) -> jnp.ndarray:
     x = wav[:, :, None]  # (B, L, 1) NWC
     for i, (layer, (_ch, k, s)) in enumerate(zip(params, cfg.conv_layers)):
         x = jax.lax.conv_general_dilated(

@@ -63,6 +63,9 @@ def resolve_tower_configs(config: ConfigNode):
         audio_cfg = hubert.HubertConfig(**kwargs)
     else:
         audio_cfg = hubert.NAMED_CONFIGS[config.audio_encoder.name]
+    conv_chunk = config.audio_encoder.get("conv_batch_chunk")
+    if conv_chunk is not None:
+        audio_cfg = dataclasses.replace(audio_cfg, conv_batch_chunk=int(conv_chunk))
     custom_clip = config.clip.get("custom")
     if custom_clip is not None:
         clip_cfg = clip_mod.CLIPConfig(

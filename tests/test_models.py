@@ -141,6 +141,27 @@ class TestHubertParity:
                 np.asarray(a)[0], np.asarray(b)[0], atol=1e-5
             )
 
+    def test_conv_batch_chunk_exact(self):
+        """conv_batch_chunk must be bit-identical math per sample, including
+        a non-divisible batch (pad rows dropped)."""
+        import dataclasses as dc
+        import jax
+
+        rng = np.random.default_rng(5)
+        wav = jnp.asarray(rng.standard_normal((5, 2500)).astype(np.float32))
+        params = hubert_mod.hubert_init(jax.random.key(0), TINY_HUBERT)
+        full = hubert_mod.conv_feature_extractor(
+            params["feature_extractor"], TINY_HUBERT, wav
+        )
+        chunked_cfg = dc.replace(TINY_HUBERT, conv_batch_chunk=2)
+        chunked = hubert_mod.conv_feature_extractor(
+            params["feature_extractor"], chunked_cfg, wav
+        )
+        assert chunked.shape == full.shape
+        np.testing.assert_allclose(
+            np.asarray(chunked), np.asarray(full), atol=1e-6
+        )
+
 
 def make_hf_clip():
     from transformers import CLIPConfig, CLIPModel
