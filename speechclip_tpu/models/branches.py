@@ -175,6 +175,7 @@ def cascaded_branch_apply(
             batchnorm_type=bn_cfg.type,
             parallel=bn_cfg.get("parallel", False),
             train=train,
+            replica_groups=bn_cfg.get("replica_groups", 0),
         )
         keywords = kw_bn_out
         new_state = dict(state)

@@ -11,10 +11,19 @@ stats (torch BatchNorm semantics: momentum 0.1, normalization by biased batch
 var, running update with unbiased var).
 
 Distribution note (SURVEY.md §7): torch-DP computes BN stats per replica on
-its sub-batch. Here statistics are computed over the GLOBAL batch — under
-pjit the mean/var reductions become cross-chip collectives automatically.
-This is cleaner and makes training dynamics batch-size- rather than
-chip-count-dependent; documented as an intentional deviation.
+its sub-batch. By default statistics are computed over the GLOBAL batch —
+under pjit the mean/var reductions become cross-chip collectives
+automatically. This is cleaner and makes training dynamics batch-size-
+rather than chip-count-dependent.
+
+For bit-faithful torch-DP dynamics set ``replica_groups=G``: the batch is
+split into G contiguous groups (torch-DP scatters contiguous chunks,
+torch/nn/parallel/scatter_gather) and each group is normalized with its own
+batch statistics. Running stats are updated from group 0 only — in
+torch-DP, buffer updates on non-master replicas are discarded and replica 0
+aliases the master module, so the persisted running stats track GPU 0's
+sub-batch. When G matches the mesh data-axis size and the batch is sharded
+contiguously, the grouped reductions stay shard-local (no collectives).
 
 Modes:
 - ``eachKw`` + ``parallel``: one BN over (kw_dim * kw_num) features of the
@@ -31,6 +40,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from .basic import Params
@@ -85,9 +95,37 @@ def _bn(
     momentum: float = 0.1,
     eps: float = 1e-5,
     weights: Optional[jnp.ndarray] = None,  # (N,) 0/1 sample weights
+    groups: int = 0,  # per-replica-group stats; 0/1 = whole batch
 ) -> Tuple[jnp.ndarray, Params]:
     x32 = x.astype(jnp.float32)
     if train:
+        if groups and groups > 1:
+            n_total = x.shape[0]
+            if n_total % groups:
+                raise ValueError(
+                    f"batch {n_total} not divisible by replica_groups {groups}"
+                )
+            g = x32.reshape(groups, n_total // groups, -1)  # (G, n, C)
+            if weights is None:
+                n = jnp.full((groups, 1), g.shape[1], jnp.float32)
+                mean = jnp.mean(g, axis=1)  # (G, C)
+                var = jnp.mean(jnp.square(g - mean[:, None, :]), axis=1)
+            else:
+                w = weights.astype(jnp.float32).reshape(
+                    groups, n_total // groups, 1
+                )
+                n = jnp.sum(w, axis=1)  # (G, 1)
+                mean = jnp.sum(g * w, axis=1) / n
+                var = jnp.sum(jnp.square(g - mean[:, None, :]) * w, axis=1) / n
+            # running stats persist from replica 0 only (torch-DP master)
+            unbiased0 = var[0] * (n[0, 0] / jnp.maximum(n[0, 0] - 1, 1))
+            new_state = {
+                "mean": (1 - momentum) * state["mean"] + momentum * mean[0],
+                "var": (1 - momentum) * state["var"] + momentum * unbiased0,
+            }
+            y = (g - mean[:, None, :]) * jax.lax.rsqrt(var[:, None, :] + eps)
+            y = y.reshape(n_total, -1) * params["scale"] + params["bias"]
+            return y.astype(x.dtype), new_state
         if weights is None:
             n = x.shape[0]
             mean = jnp.mean(x32, axis=0)
@@ -119,13 +157,15 @@ def kw_bn_apply(
     parallel: bool = False,
     train: bool = False,
     seq_lens: Optional[jnp.ndarray] = None,  # (B,) for `same` variable-length
+    replica_groups: int = 0,  # per-replica-group stats (torch-DP emulation)
 ) -> Tuple[jnp.ndarray, Params]:
     bsz, kw_num, kw_dim = keywords.shape
+    groups = replica_groups if train else 0
 
     if batchnorm_type == "eachKw" and parallel:
         # (B, K, D) -> (B, D, K) -> (B, D*K): feature index = d*K + k
         flat = keywords.transpose(0, 2, 1).reshape(bsz, kw_dim * kw_num)
-        out, new_state = _bn(flat, params, state, train)
+        out, new_state = _bn(flat, params, state, train, groups=groups)
         out = out.reshape(bsz, kw_dim, kw_num).transpose(0, 2, 1)
         return out, new_state
 
@@ -133,6 +173,26 @@ def kw_bn_apply(
         # vectorized over the keyword axis: (K, B, D) batch of BNs
         x = keywords.transpose(1, 0, 2).astype(jnp.float32)  # (K, B, D)
         if train:
+            if groups and groups > 1:
+                if bsz % groups:
+                    raise ValueError(
+                        f"batch {bsz} not divisible by replica_groups {groups}"
+                    )
+                g = x.reshape(kw_num, groups, bsz // groups, kw_dim)
+                mean = jnp.mean(g, axis=2)  # (K, G, D)
+                var = jnp.mean(jnp.square(g - mean[:, :, None, :]), axis=2)
+                n = bsz // groups
+                unbiased0 = var[:, 0] * (n / max(n - 1, 1))
+                new_state = {
+                    "mean": 0.9 * state["mean"] + 0.1 * mean[:, 0],
+                    "var": 0.9 * state["var"] + 0.1 * unbiased0,
+                }
+                y = (g - mean[:, :, None, :]) * jax.lax.rsqrt(
+                    var[:, :, None, :] + 1e-5
+                )
+                y = y.reshape(kw_num, bsz, kw_dim)
+                y = y * params["scale"][:, None, :] + params["bias"][:, None, :]
+                return y.transpose(1, 0, 2).astype(keywords.dtype), new_state
             mean = jnp.mean(x, axis=1)  # (K, D)
             var = jnp.mean(jnp.square(x - mean[:, None, :]), axis=1)
             n = bsz
@@ -151,13 +211,14 @@ def kw_bn_apply(
     if batchnorm_type == "same":
         flat = keywords.reshape(bsz * kw_num, kw_dim)
         if seq_lens is None:
-            out, new_state = _bn(flat, params, state, train)
+            out, new_state = _bn(flat, params, state, train, groups=groups)
             return out.reshape(bsz, kw_num, kw_dim), new_state
         # masked path: stats over valid positions only; padded positions
-        # pass through unchanged (reference kw_bn.py:137-158)
+        # pass through unchanged (reference kw_bn.py:137-158). Rows are
+        # B-major, so contiguous replica groups over B stay contiguous flat.
         mask = valid_mask(seq_lens, kw_num)  # (B, K)
         out, new_state = _bn(
-            flat, params, state, train, weights=mask.reshape(-1)
+            flat, params, state, train, weights=mask.reshape(-1), groups=groups
         )
         out = out.reshape(bsz, kw_num, kw_dim)
         out = jnp.where(mask[..., None], out, keywords)

@@ -327,6 +327,89 @@ class TestKwBN:
         np.testing.assert_allclose(np.asarray(out), x, atol=1e-4)
         assert new_state is state
 
+    def test_replica_groups_match_torch_dp(self):
+        """replica_groups=G must reproduce literal torch-DataParallel BN:
+        each contiguous sub-batch normalized with its own stats; persisted
+        running stats come from replica 0 only (non-master buffer updates
+        are discarded, torch/nn/parallel/data_parallel replicate semantics).
+        Reference trains with strategy=dp (config/.../spchclp_p.yaml:127)."""
+        import copy
+
+        b, k, d, g = 8, 4, 16, 2
+        x = rand(b, k, d, seed=21)
+        emb = rand(100, d, seed=22)
+        init_bias, init_scale = emb.mean(0), emb.std(0, ddof=1)
+
+        bn_master = torch.nn.BatchNorm1d(d * k)
+        bn_master.weight.data.copy_(torch.tensor(init_scale).repeat(k))
+        bn_master.bias.data.copy_(torch.tensor(init_bias).repeat(k))
+        xt = torch.tensor(x).permute(0, 2, 1).reshape(b, -1)
+        outs = []
+        for r in range(g):
+            bn_r = bn_master if r == 0 else copy.deepcopy(bn_master)
+            bn_r.train()
+            outs.append(bn_r(xt[r * (b // g) : (r + 1) * (b // g)]))
+        out_t = torch.cat(outs).reshape(b, d, k).permute(0, 2, 1)
+
+        params, state = ops.kw_bn_init(
+            k, d, "eachKw", jnp.asarray(init_bias), jnp.asarray(init_scale),
+            parallel=True,
+        )
+        out_j, new_state = ops.kw_bn_apply(
+            params, state, jnp.asarray(x),
+            batchnorm_type="eachKw", parallel=True, train=True,
+            replica_groups=g,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_j), out_t.detach().numpy(), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_state["mean"]), bn_master.running_mean.numpy(),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_state["var"]), bn_master.running_var.numpy(),
+            atol=1e-4,
+        )
+
+    def test_replica_groups_each_kw_separate(self):
+        import copy
+
+        b, k, d, g = 8, 3, 8, 4
+        x = rand(b, k, d, seed=23)
+        emb = rand(50, d, seed=24)
+        masters = [torch.nn.BatchNorm1d(d) for _ in range(k)]
+        for bn in masters:
+            bn.weight.data.copy_(torch.tensor(emb.std(0, ddof=1)))
+            bn.bias.data.copy_(torch.tensor(emb.mean(0)))
+        outs = []
+        for r in range(g):
+            sub = torch.tensor(x)[r * (b // g) : (r + 1) * (b // g)]
+            cols = []
+            for i in range(k):
+                bn_r = masters[i] if r == 0 else copy.deepcopy(masters[i])
+                bn_r.train()
+                cols.append(bn_r(sub[:, i]))
+            outs.append(torch.stack(cols, dim=1))
+        out_t = torch.cat(outs)
+
+        params, state = ops.kw_bn_init(
+            k, d, "eachKw", jnp.asarray(emb.mean(0)),
+            jnp.asarray(emb.std(0, ddof=1)),
+        )
+        out_j, new_state = ops.kw_bn_apply(
+            params, state, jnp.asarray(x), batchnorm_type="eachKw",
+            train=True, replica_groups=g,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_j), out_t.detach().numpy(), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_state["mean"]),
+            np.stack([bn.running_mean.numpy() for bn in masters]),
+            atol=1e-5,
+        )
+
 
 class TestRetrieval:
     def test_recall_matches_bruteforce(self):
