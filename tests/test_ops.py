@@ -77,6 +77,39 @@ class TestAttentionParity:
         np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), atol=2e-5)
         np.testing.assert_allclose(np.asarray(w_j), w_t.numpy(), atol=2e-5)
 
+    def test_bf16_buffer_path_close_to_f32(self):
+        """The bf16 no-weights fast path (bf16 HBM score/weight buffers, f32
+        softmax math) must track the f32 reference within bf16 rounding — it
+        is the hot path of the HuBERT encode in precision-16 mode."""
+        d, nhead, b, t = 64, 4, 3, 17
+        x = rand(b, t, d, seed=31)
+        lens = np.array([17, 11, 5])
+        params = {
+            "in_proj": {
+                "w": jnp.asarray(rand(d, 3 * d, seed=32)) * 0.1,
+                "b": jnp.zeros((3 * d,)),
+            },
+            "out_proj": {
+                "w": jnp.asarray(rand(d, d, seed=33)) * 0.1,
+                "b": jnp.zeros((d,)),
+            },
+        }
+        kpm = ops.key_padding_mask(jnp.asarray(lens), t)
+        out32, _ = ops.multi_head_attention(
+            params, jnp.asarray(x), jnp.asarray(x), jnp.asarray(x),
+            num_heads=nhead, key_padding_mask=kpm,
+        )
+        xb = jnp.asarray(x).astype(jnp.bfloat16)
+        pb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+        out16, w16 = ops.multi_head_attention(
+            pb, xb, xb, xb, num_heads=nhead, key_padding_mask=kpm
+        )
+        assert w16 is None
+        assert out16.dtype == jnp.bfloat16
+        err = np.abs(np.asarray(out16, np.float32) - np.asarray(out32))
+        scale = np.abs(np.asarray(out32)).max()
+        assert err.max() / scale < 0.03, err.max() / scale
+
     @pytest.mark.parametrize("norm_first", [False, True])
     def test_transformer_encoder_vs_torch(self, norm_first):
         d, n_layers = 32, 2
