@@ -53,6 +53,9 @@ def sdpa_xla(
     v: jnp.ndarray,  # (B, H, S, Dh)
     bias: Optional[jnp.ndarray] = None,  # additive, broadcastable to (B,H,L,S)
     return_weights: bool = False,
+    dropout_rate: float = 0.0,  # torch semantics: dropout on the weights
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Reference XLA attention; softmax in f32.
 
@@ -66,6 +69,7 @@ def sdpa_xla(
     bf16 activation error already present)."""
     dh = q.shape[-1]
     scale = 1.0 / math.sqrt(dh)
+    drop = train and dropout_rate > 0.0 and rng is not None
     if not return_weights and q.dtype == jnp.bfloat16:
         logits16 = jnp.einsum(
             "bhld,bhsd->bhls",
@@ -77,6 +81,8 @@ def sdpa_xla(
         if bias is not None:
             x = x + bias.astype(jnp.float32)
         w16 = jax.nn.softmax(x, axis=-1).astype(jnp.bfloat16)
+        if drop:
+            w16 = dropout(rng, w16, dropout_rate, train)
         out = jnp.einsum(
             "bhls,bhsd->bhld", w16, v, preferred_element_type=jnp.float32
         ).astype(v.dtype)
@@ -88,11 +94,11 @@ def sdpa_xla(
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     weights = jax.nn.softmax(logits, axis=-1)
+    pv = weights.astype(v.dtype)
+    if drop:
+        pv = dropout(rng, pv, dropout_rate, train)
     out = jnp.einsum(
-        "bhls,bhsd->bhld",
-        weights.astype(v.dtype),
-        v,
-        preferred_element_type=jnp.float32,
+        "bhls,bhsd->bhld", pv, v, preferred_element_type=jnp.float32
     ).astype(v.dtype)
     return out, (weights if return_weights else None)
 
@@ -217,8 +223,8 @@ def multi_head_attention(
     k = _split_heads(k, num_heads)
     v = _split_heads(v, num_heads)
 
-    want_weights = need_weights or (train and dropout_rate > 0)
-    if not want_weights and _flash_eligible(
+    want_weights = need_weights
+    if not want_weights and not (train and dropout_rate > 0) and _flash_eligible(
         attn_mask, key_padding_mask, key_valid_lens, causal
     ):
         from ..kernels.flash_attention import flash_attention
@@ -233,14 +239,10 @@ def multi_head_attention(
     if causal and attn_mask is None:
         attn_mask = causal_bias(key.shape[1])[: query.shape[1]]
     bias = padding_bias(key_padding_mask, attn_mask)
-    out, weights = sdpa_xla(q, k, v, bias, want_weights)
-
-    if train and dropout_rate > 0.0:
-        # torch applies dropout to attention weights; redo the weighted sum.
-        dropped = dropout(rng, weights.astype(v.dtype), dropout_rate, train)
-        out = jnp.einsum(
-            "bhls,bhsd->bhld", dropped, v, preferred_element_type=jnp.float32
-        ).astype(v.dtype)
+    out, weights = sdpa_xla(
+        q, k, v, bias, want_weights, dropout_rate=dropout_rate, rng=rng,
+        train=train,
+    )
 
     out = _merge_heads(out)
     out = linear(params["out_proj"], out)
