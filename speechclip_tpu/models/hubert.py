@@ -67,6 +67,12 @@ class HubertConfig:
     activation_dropout: float = 0.0
     layerdrop: float = 0.0
     downsample_rate: int = 320
+    # Rematerialize encoder layers on the backward pass (jax.checkpoint).
+    # Only matters when the encoder is trainable (fine-tune / unfreeze_layers
+    # paths, reference speech_encoder_plus.py:404-446): activations of the
+    # 12/24 layers are recomputed instead of stored, trading ~1 extra forward
+    # of FLOPs for O(layers) less HBM. No effect on frozen/eval paths.
+    remat: bool = False
     # Batch chunk size for the conv frontend; 0 = whole batch at once.
     # The conv0 intermediate (B, ~L/5, 512) is the largest activation in the
     # model and is what bounds batch size (b512 at 6.4 s OOMs a v5e chip);
@@ -364,9 +370,13 @@ def hubert_apply(
         layer_rngs = list(jax.random.split(rng, 2 * n_layers))
     else:
         layer_rngs = [None] * (2 * n_layers)
+    layer_fn = encoder_layer_apply
+    if train and cfg.remat:
+        # cfg (frozen dataclass) and the train flag are static
+        layer_fn = jax.checkpoint(encoder_layer_apply, static_argnums=(1, 5))
     for i, layer in enumerate(params["encoder"]["layers"]):
-        y = encoder_layer_apply(
-            layer, cfg, x, kpm, layer_rngs[2 * i], train, frame_lens=frame_lens
+        y = layer_fn(
+            layer, cfg, x, kpm, layer_rngs[2 * i], train, frame_lens
         )
         if train and cfg.layerdrop > 0 and layer_rngs[2 * i + 1] is not None:
             keep = jax.random.bernoulli(

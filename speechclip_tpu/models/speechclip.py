@@ -66,6 +66,9 @@ def resolve_tower_configs(config: ConfigNode):
     conv_chunk = config.audio_encoder.get("conv_batch_chunk")
     if conv_chunk is not None:
         audio_cfg = dataclasses.replace(audio_cfg, conv_batch_chunk=int(conv_chunk))
+    remat = config.audio_encoder.get("remat")
+    if remat is not None:
+        audio_cfg = dataclasses.replace(audio_cfg, remat=bool(remat))
     custom_clip = config.clip.get("custom")
     if custom_clip is not None:
         clip_cfg = clip_mod.CLIPConfig(

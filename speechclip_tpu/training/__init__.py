@@ -4,6 +4,7 @@ from .optim import build_optimizer
 from .train_step import (
     TrainState,
     create_train_state,
+    device_prefetch,
     jit_train_step,
     make_eval_step,
     make_train_step,
@@ -15,6 +16,7 @@ __all__ = [
     "build_optimizer",
     "TrainState",
     "create_train_state",
+    "device_prefetch",
     "jit_train_step",
     "make_eval_step",
     "make_train_step",

@@ -138,6 +138,27 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
+def device_prefetch(batches, mesh: Mesh, size: int = 2):
+    """Overlap host->device transfer with compute.
+
+    ``jax.device_put`` is asynchronous; by putting batch k+1 (and k+2, ...)
+    on the mesh while step k executes, the H2D copy rides under the compute
+    instead of serializing in front of it. ``size`` bounds device-resident
+    lookahead batches (2 = classic double buffering). The torch-DataLoader
+    equivalent in the reference has no device-side prefetch (scatter happens
+    inside DataParallel at step time).
+    """
+    from collections import deque
+
+    buf = deque()
+    for batch in batches:
+        buf.append(shard_batch(batch, mesh))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def jit_train_step(train_step, donate: bool = True):
     """jit; shardings propagate from the placed state/batch (computation
     follows data)."""

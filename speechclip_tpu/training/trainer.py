@@ -38,6 +38,7 @@ from .optim import build_optimizer
 from .train_step import (
     TrainState,
     create_train_state,
+    device_prefetch,
     jit_train_step,
     make_eval_step,
     make_train_step,
@@ -197,14 +198,17 @@ class Trainer:
         t_last = time.perf_counter()
         while step < max_steps:
             steps_at_epoch_start = step
-            for batch in train_loader:
-                if len(batch["id"]) % self.n_data != 0:
-                    continue  # drop ragged trailing batch (drop_last default)
+
+            def _whole_batches(loader=train_loader):
+                for b in loader:
+                    if len(b["id"]) % self.n_data != 0:
+                        continue  # ragged trailing batch (drop_last default)
+                    yield b
+
+            for sharded in device_prefetch(_whole_batches(), self.mesh):
                 if profile_steps and step == int(profile_steps[0]):
                     jax.profiler.start_trace(profile_dir)
-                state, metrics = self._train_step(
-                    state, shard_batch(batch, self.mesh)
-                )
+                state, metrics = self._train_step(state, sharded)
                 step += 1
                 if profile_steps and step == int(profile_steps[1]):
                     jax.block_until_ready(metrics)

@@ -141,6 +141,35 @@ class TestHubertParity:
                 np.asarray(a)[0], np.asarray(b)[0], atol=1e-5
             )
 
+    def test_remat_gradients_identical(self):
+        """jax.checkpoint over encoder layers (audio_encoder.remat, the
+        fine-tune memory knob) must not change gradients: recompute uses the
+        same rngs, so forward and backward are bitwise-equivalent math."""
+        import dataclasses as dc
+        import jax
+
+        params = hubert_mod.hubert_init(jax.random.key(0), TINY_HUBERT)
+        rng = np.random.default_rng(9)
+        wav = jnp.asarray(rng.standard_normal((2, 2500)).astype(np.float32))
+        lens = jnp.asarray(np.array([2500, 1700]))
+
+        def loss(params, cfg):
+            hs, _ = hubert_mod.hubert_apply(
+                params, cfg, wav, lens, rng=jax.random.key(3), train=True
+            )
+            return jnp.sum(hs[-1] ** 2)
+
+        g_plain = jax.grad(lambda p: loss(p, TINY_HUBERT))(params)
+        remat_cfg = dc.replace(TINY_HUBERT, remat=True)
+        g_remat = jax.grad(lambda p: loss(p, remat_cfg))(params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            ),
+            g_plain,
+            g_remat,
+        )
+
     def test_conv_batch_chunk_exact(self):
         """conv_batch_chunk must be bit-identical math per sample, including
         a non-divisible batch (pad rows dropped)."""

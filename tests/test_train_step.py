@@ -155,3 +155,25 @@ def test_gradient_accumulation(setup):
     state, _ = step(state, batch)
     w2 = np.asarray(state.params["weighted_sum"]["weights"])
     assert np.abs(w2 - w1).sum() > 0  # update applied on the second
+
+
+def test_device_prefetch_preserves_batches():
+    """device_prefetch must yield every batch, in order, with identical
+    values and the data-axis sharding applied."""
+    from speechclip_tpu.training import device_prefetch
+
+    mesh = make_mesh(data=8, model=1)
+    rng = np.random.default_rng(0)
+    batches = [
+        {
+            "wav": rng.standard_normal((8, 100)).astype(np.float32),
+            "id": np.arange(8) + 100 * i,
+        }
+        for i in range(5)
+    ]
+    out = list(device_prefetch(iter(batches), mesh, size=2))
+    assert len(out) == 5
+    for orig, sharded in zip(batches, out):
+        for k in orig:
+            np.testing.assert_array_equal(np.asarray(sharded[k]), orig[k])
+        assert "data" in str(sharded["wav"].sharding.spec)
