@@ -52,6 +52,8 @@ def main():
     )
 
     def timed(name, fn, *args):
+        # params ride as arguments: the remote compiler rejects big inlined
+        # constants (HTTP 413) — see CLAUDE.md
         f = jax.jit(fn)
         float(jnp.sum(f(*args).astype(jnp.float32)))  # compile+warm
         t0 = time.perf_counter()
@@ -61,10 +63,10 @@ def main():
         return dt / ITERS
 
     def loop(body):
-        # x carries (B,) f32; body must use it and the index
-        def fn(wav, wav_len):
+        # body(p, wav, wav_len); params passed through jit (not closed over)
+        def fn(p, wav, wav_len):
             def step(i, acc):
-                out = body(wav + (acc[0] * 0).astype(wav.dtype), wav_len)
+                out = body(p, wav + (acc[0] * 0).astype(wav.dtype), wav_len)
                 return jnp.ones((1,), jnp.float32) * jnp.mean(
                     out.astype(jnp.float32)
                 ) + i * 0.0
@@ -76,47 +78,49 @@ def main():
     if "conv" in STAGES:
         timed(
             "conv chain (7 convs+GN)",
-            loop(lambda w, wl: hubert.conv_feature_extractor(ae["feature_extractor"], acfg, w)),
+            loop(lambda p, w, wl: hubert.conv_feature_extractor(p["feature_extractor"], acfg, w)),
+            ae,
             wav,
             wav_len,
         )
 
     # stage 2: conv + LN + proj + pos_conv
-    def frontend(w, wl):
-        feats = hubert.conv_feature_extractor(ae["feature_extractor"], acfg, w)
-        feats = layer_norm(ae["layer_norm"], feats)
-        feats = linear(ae["post_extract_proj"], feats)
+    def frontend(p, w, wl):
+        feats = hubert.conv_feature_extractor(p["feature_extractor"], acfg, w)
+        feats = layer_norm(p["layer_norm"], feats)
+        feats = linear(p["post_extract_proj"], feats)
         t = feats.shape[1]
         fl = masking.conv_frame_valid_lengths(wl, w.shape[1], t)
         kpm = masking.key_padding_mask(fl, t)
         x = jnp.where(kpm[..., None], jnp.zeros_like(feats), feats)
-        return x + hubert.pos_conv_apply(ae["encoder"]["pos_conv"], acfg, x)
+        return x + hubert.pos_conv_apply(p["encoder"]["pos_conv"], acfg, x)
 
     if "frontend" in STAGES:
-        timed("frontend (+LN+proj+posconv)", loop(frontend), wav, wav_len)
+        timed("frontend (+LN+proj+posconv)", loop(frontend), ae, wav, wav_len)
 
     # stage 3: full hubert (13 states)
-    def full_hubert(w, wl):
-        hs, fl = hubert.hubert_apply(ae, acfg, w, wl)
+    def full_hubert(p, w, wl):
+        hs, fl = hubert.hubert_apply(p, acfg, w, wl)
         return hs[-1]
 
     if "hubert" in STAGES:
-        timed("full hubert (13 states)", loop(full_hubert), wav, wav_len)
+        timed("full hubert (13 states)", loop(full_hubert), ae, wav, wav_len)
 
     # stage 4: hubert + weighted sum
-    def hubert_ws(w, wl):
-        hs, fl = hubert.hubert_apply(ae, acfg, w, wl)
-        return weighted_sum_apply(params["weighted_sum"], hs)
+    def hubert_ws(p, w, wl):
+        hs, fl = hubert.hubert_apply(p["ae"], acfg, w, wl)
+        return weighted_sum_apply(p["ws"], hs)
 
     if "ws" in STAGES:
-        timed("hubert + weighted sum", loop(hubert_ws), wav, wav_len)
+        timed("hubert + weighted sum", loop(hubert_ws),
+              {"ae": ae, "ws": params["weighted_sum"]}, wav, wav_len)
 
     # stage 5: + branch + l2
-    def encode(w, wl):
-        hs, fl = hubert.hubert_apply(ae, acfg, w, wl)
-        feat = weighted_sum_apply(params["weighted_sum"], hs)
+    def encode(p, w, wl):
+        hs, fl = hubert.hubert_apply(p["ae"], acfg, w, wl)
+        feat = weighted_sum_apply(p["ws"], hs)
         out = branches.parallel_branch_apply(
-            params["parallel_branch"],
+            p["branch"],
             model.config.model_settings.parallel_branch,
             feat,
             fl,
@@ -124,7 +128,9 @@ def main():
         return l2_normalize(out.astype(jnp.float32))
 
     if "encode" in STAGES:
-        timed("full encode (+branch)", loop(encode), wav, wav_len)
+        timed("full encode (+branch)", loop(encode),
+              {"ae": ae, "ws": params["weighted_sum"],
+               "branch": params["parallel_branch"]}, wav, wav_len)
 
 
 if __name__ == "__main__":
