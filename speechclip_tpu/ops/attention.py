@@ -69,7 +69,9 @@ def sdpa_xla(
     bf16 activation error already present)."""
     dh = q.shape[-1]
     scale = 1.0 / math.sqrt(dh)
-    drop = train and dropout_rate > 0.0 and rng is not None
+    drop = train and dropout_rate > 0.0
+    if drop and rng is None:
+        raise ValueError("attention dropout in train mode requires an rng")
     if not return_weights and q.dtype == jnp.bfloat16:
         logits16 = jnp.einsum(
             "bhld,bhsd->bhls",
@@ -94,11 +96,15 @@ def sdpa_xla(
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     weights = jax.nn.softmax(logits, axis=-1)
-    pv = weights.astype(v.dtype)
     if drop:
-        pv = dropout(rng, pv, dropout_rate, train)
+        # torch parity: F.multi_head_attention_forward drops the weights and
+        # both uses AND returns the dropped tensor
+        weights = dropout(rng, weights, dropout_rate, train)
     out = jnp.einsum(
-        "bhls,bhsd->bhld", pv, v, preferred_element_type=jnp.float32
+        "bhls,bhsd->bhld",
+        weights.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
     ).astype(v.dtype)
     return out, (weights if return_weights else None)
 

@@ -103,7 +103,7 @@ def _bn(
             n_total = x.shape[0]
             if n_total % groups:
                 raise ValueError(
-                    f"batch {n_total} not divisible by replica_groups {groups}"
+                    f"{n_total} rows not divisible by replica_groups {groups}"
                 )
             g = x32.reshape(groups, n_total // groups, -1)  # (G, n, C)
             if weights is None:
@@ -114,7 +114,9 @@ def _bn(
                 w = weights.astype(jnp.float32).reshape(
                     groups, n_total // groups, 1
                 )
-                n = jnp.sum(w, axis=1)  # (G, 1)
+                # a fully-padded group contributes zeros (not NaN) to its
+                # normalization; padded rows are overwritten by the caller
+                n = jnp.maximum(jnp.sum(w, axis=1), 1.0)  # (G, 1)
                 mean = jnp.sum(g * w, axis=1) / n
                 var = jnp.sum(jnp.square(g - mean[:, None, :]) * w, axis=1) / n
             # running stats persist from replica 0 only (torch-DP master)
@@ -132,7 +134,7 @@ def _bn(
             var = jnp.mean(jnp.square(x32 - mean), axis=0)
         else:
             w = weights.astype(jnp.float32)[:, None]
-            n = jnp.sum(w)
+            n = jnp.maximum(jnp.sum(w), 1.0)
             mean = jnp.sum(x32 * w, axis=0) / n
             var = jnp.sum(jnp.square(x32 - mean) * w, axis=0) / n
         unbiased = var * (n / jnp.maximum(n - 1, 1))
@@ -161,6 +163,13 @@ def kw_bn_apply(
 ) -> Tuple[jnp.ndarray, Params]:
     bsz, kw_num, kw_dim = keywords.shape
     groups = replica_groups if train else 0
+    if groups and groups > 1 and bsz % groups:
+        # validate on the SAMPLE count: the `same` mode flattens to B*K rows,
+        # where a row-count check alone could pass while replica groups
+        # straddle sample boundaries
+        raise ValueError(
+            f"batch {bsz} not divisible by replica_groups {groups}"
+        )
 
     if batchnorm_type == "eachKw" and parallel:
         # (B, K, D) -> (B, D, K) -> (B, D*K): feature index = d*K + k
@@ -170,42 +179,20 @@ def kw_bn_apply(
         return out, new_state
 
     if batchnorm_type == "eachKw":
-        # vectorized over the keyword axis: (K, B, D) batch of BNs
+        # K independent BNs, vmapped over the keyword axis — one shared
+        # implementation of the statistics/running-stat math (_bn)
         x = keywords.transpose(1, 0, 2).astype(jnp.float32)  # (K, B, D)
-        if train:
-            if groups and groups > 1:
-                if bsz % groups:
-                    raise ValueError(
-                        f"batch {bsz} not divisible by replica_groups {groups}"
-                    )
-                g = x.reshape(kw_num, groups, bsz // groups, kw_dim)
-                mean = jnp.mean(g, axis=2)  # (K, G, D)
-                var = jnp.mean(jnp.square(g - mean[:, :, None, :]), axis=2)
-                n = bsz // groups
-                unbiased0 = var[:, 0] * (n / max(n - 1, 1))
-                new_state = {
-                    "mean": 0.9 * state["mean"] + 0.1 * mean[:, 0],
-                    "var": 0.9 * state["var"] + 0.1 * unbiased0,
-                }
-                y = (g - mean[:, :, None, :]) * jax.lax.rsqrt(
-                    var[:, :, None, :] + 1e-5
-                )
-                y = y.reshape(kw_num, bsz, kw_dim)
-                y = y * params["scale"][:, None, :] + params["bias"][:, None, :]
-                return y.transpose(1, 0, 2).astype(keywords.dtype), new_state
-            mean = jnp.mean(x, axis=1)  # (K, D)
-            var = jnp.mean(jnp.square(x - mean[:, None, :]), axis=1)
-            n = bsz
-            unbiased = var * (n / max(n - 1, 1))
-            new_state = {
-                "mean": 0.9 * state["mean"] + 0.1 * mean,
-                "var": 0.9 * state["var"] + 0.1 * unbiased,
-            }
-        else:
-            mean, var = state["mean"], state["var"]
+        y, new_state = jax.vmap(
+            lambda xk, sc, bi, mk, vk: _bn(
+                xk,
+                {"scale": sc, "bias": bi},
+                {"mean": mk, "var": vk},
+                train,
+                groups=groups,
+            )
+        )(x, params["scale"], params["bias"], state["mean"], state["var"])
+        if not train:
             new_state = state
-        y = (x - mean[:, None, :]) / jnp.sqrt(var[:, None, :] + 1e-5)
-        y = y * params["scale"][:, None, :] + params["bias"][:, None, :]
         return y.transpose(1, 0, 2).astype(keywords.dtype), new_state
 
     if batchnorm_type == "same":

@@ -405,6 +405,35 @@ class TestKwBN:
             atol=1e-4,
         )
 
+    def test_replica_groups_same_mode_validates_samples(self):
+        """'same' mode flattens (B,K)->B*K rows; the divisibility check must
+        run on B (samples), not rows — bsz=6,K=2,G=4 has 12%4==0 rows but
+        groups would straddle sample boundaries."""
+        b, k, d = 6, 2, 8
+        x = rand(b, k, d, seed=41)
+        params, state = ops.kw_bn_init(k, d, "same", jnp.zeros(d), jnp.ones(d))
+        with pytest.raises(ValueError, match="batch 6"):
+            ops.kw_bn_apply(
+                params, state, jnp.asarray(x), batchnorm_type="same",
+                train=True, replica_groups=4,
+            )
+
+    def test_replica_groups_masked_empty_group_no_nan(self):
+        """A fully-padded replica group must not poison stats with NaN."""
+        b, k, d, g = 4, 3, 8, 2
+        x = rand(b, k, d, seed=42)
+        params, state = ops.kw_bn_init(k, d, "same", jnp.zeros(d), jnp.ones(d))
+        seq_lens = jnp.asarray(np.array([0, 0, 3, 2]))  # group 0 all-padded
+        out, new_state = ops.kw_bn_apply(
+            params, state, jnp.asarray(x), batchnorm_type="same",
+            train=True, seq_lens=seq_lens, replica_groups=g,
+        )
+        assert np.isfinite(np.asarray(out)).all()
+        assert np.isfinite(np.asarray(new_state["mean"])).all()
+        assert np.isfinite(np.asarray(new_state["var"])).all()
+        # fully-padded rows pass through unchanged (reference kw_bn semantics)
+        np.testing.assert_allclose(np.asarray(out)[0], x[0], atol=1e-6)
+
     def test_replica_groups_each_kw_separate(self):
         import copy
 
