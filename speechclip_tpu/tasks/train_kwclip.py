@@ -121,7 +121,16 @@ class TrainKWClip_GeneralTransformer(BaseTask):
                     rng=state.rng,
                 )
             elif args.resume or args.ckpt:
-                state = trainer.ckpt.restore(args.resume or args.ckpt, state)
+                ckpt_path = args.resume or args.ckpt
+                if trainer.ckpt.is_slim(ckpt_path):
+                    state = state.__class__(
+                        params=trainer.model.load_pretrained(state.params),
+                        model_state=state.model_state,
+                        opt_state=state.opt_state,
+                        step=state.step,
+                        rng=state.rng,
+                    )
+                state = trainer.ckpt.restore(ckpt_path, state)
             state = place_state(state, trainer.mesh)
             metrics = trainer.validate(state)
             logger.info("validation metrics: %s", metrics)

@@ -7,15 +7,26 @@ monitors — val_loss (min, top-1, plus save_last) and val_recall_mean_10
 the weights (the save_hyperparameters equivalent) so restore needs no YAML.
 
 Saves are async (orbax) so the TPU never waits on the filesystem.
+
+Slim mode (``trainer.checkpoint_frozen: false``): the reference embeds the
+full frozen HuBERT+CLIP state_dict in every Lightning checkpoint
+(base_model.py:14 save_hyperparameters + full state_dict — ~1.5 GB for
+large). Here the frozen towers can be excluded: frozen leaves are stored as
+0-size placeholders (structure-preserving) and a ``meta.json`` marks the
+checkpoint; restore merges the stored trainable leaves into a target whose
+frozen towers were populated from the pretrained assets (load_pretrained).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import shutil
 from typing import Any, Dict, List, Optional, Sequence
 
+import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 from ..config import ConfigNode
@@ -26,6 +37,24 @@ DEFAULT_MONITORS = (
 )
 
 
+def strip_frozen_params(params: Any, trainable_mask: Any) -> Any:
+    """Replace frozen leaves with 1-element placeholders (same tree
+    structure, same dtype; orbax rejects 0-size arrays) so slim checkpoints
+    stay restore-compatible."""
+    return jax.tree.map(
+        lambda m, p: p if m else np.zeros((1,), dtype=p.dtype),
+        trainable_mask,
+        params,
+    )
+
+
+def merge_restored_params(target: Any, restored: Any, trainable_mask: Any) -> Any:
+    """Take trainable leaves from the restored tree, frozen from target."""
+    return jax.tree.map(
+        lambda m, t, r: r if m else t, trainable_mask, target, restored
+    )
+
+
 class CheckpointManager:
     def __init__(
         self,
@@ -33,11 +62,13 @@ class CheckpointManager:
         monitors: Sequence[Dict] = DEFAULT_MONITORS,
         save_last: bool = True,
         save_at_steps: Sequence[int] = (),
+        slim_mask: Any = None,  # params trainable mask -> exclude frozen
     ):
         self.root_dir = os.path.abspath(root_dir)
         self.monitors = list(monitors)
         self.save_last = save_last
         self.save_at_steps = set(save_at_steps)
+        self.slim_mask = slim_mask
         self._ckptr = ocp.StandardCheckpointer()
         self._index_path = os.path.join(self.root_dir, "ckpt_index.json")
         self._index: Dict[str, List[Dict]] = {m["name"]: [] for m in self.monitors}
@@ -50,7 +81,14 @@ class CheckpointManager:
     def _save_tree(self, path: str, state: Any, config: Optional[ConfigNode]):
         if os.path.exists(path):
             shutil.rmtree(path)
+        if self.slim_mask is not None:
+            state = dataclasses.replace(
+                state, params=strip_frozen_params(state.params, self.slim_mask)
+            )
         self._ckptr.save(os.path.join(path, "state"), state)
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"slim": self.slim_mask is not None}, f)
         if config is not None:
             with open(os.path.join(self.root_dir, "config.yaml"), "w") as f:
                 f.write(config.to_yaml())
@@ -105,8 +143,39 @@ class CheckpointManager:
         self._ckptr.wait_until_finished()
 
     # --------------------------------------------------------------- restore
+    @staticmethod
+    def is_slim(path: str) -> bool:
+        meta = os.path.join(path, "meta.json")
+        if not os.path.exists(meta):
+            return False
+        with open(meta) as f:
+            return bool(json.load(f).get("slim"))
+
     def restore(self, path: str, target: Any) -> Any:
+        """Restore into ``target``. For slim checkpoints, ``target`` must
+        already carry the frozen tower weights (load_pretrained) — only the
+        trainable leaves come from disk."""
         self.wait()
+        if self.is_slim(path):
+            if self.slim_mask is None:
+                raise ValueError(
+                    f"{path} is a slim checkpoint (frozen towers excluded); "
+                    "construct the CheckpointManager with slim_mask (set "
+                    "trainer.checkpoint_frozen: false) to restore it"
+                )
+            slim_target = dataclasses.replace(
+                target,
+                params=strip_frozen_params(target.params, self.slim_mask),
+            )
+            restored = self._ckptr.restore(
+                os.path.join(path, "state"), slim_target
+            )
+            return dataclasses.replace(
+                restored,
+                params=merge_restored_params(
+                    target.params, restored.params, self.slim_mask
+                ),
+            )
         return self._ckptr.restore(os.path.join(path, "state"), target)
 
     def restore_last(self, target: Any) -> Any:

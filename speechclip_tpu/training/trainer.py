@@ -89,13 +89,17 @@ class Trainer:
         params_shapes = jax.eval_shape(
             lambda: self.model.init(jax.random.key(0))[0]
         )
-        self.tx, self.schedule = build_optimizer(
-            config, self.model.trainable_mask(params_shapes)
-        )
+        self._trainable_mask = self.model.trainable_mask(params_shapes)
+        self.tx, self.schedule = build_optimizer(config, self._trainable_mask)
 
+        # trainer.checkpoint_frozen: false -> exclude the frozen towers from
+        # checkpoints (the reference stores the full state_dict; SURVEY.md §5
+        # flags excluding them as the TPU-rebuild improvement)
+        slim = not config.get_path("trainer.checkpoint_frozen", True)
         self.ckpt = CheckpointManager(
             os.path.join(self.workdir, "ckpts"),
             save_at_steps=config.get_path("trainer.save_at_steps", []) or [],
+            slim_mask=self._trainable_mask if slim else None,
         )
         self.metrics_logger = MetricsLogger(
             self.workdir,
@@ -162,6 +166,15 @@ class Trainer:
             last = os.path.join(self.workdir, "ckpts", "last")
             resume = last if os.path.exists(last) else None
         if resume:
+            if self.ckpt.is_slim(resume):
+                # slim ckpt: frozen towers come from the pretrained assets
+                state = TrainState(
+                    params=self.model.load_pretrained(state.params),
+                    model_state=state.model_state,
+                    opt_state=state.opt_state,
+                    step=state.step,
+                    rng=state.rng,
+                )
             state = self.ckpt.restore(resume, state)
             logger.info("resumed from %s at step %d", resume, int(state.step))
         elif initial_params is None:

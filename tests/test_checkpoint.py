@@ -80,3 +80,69 @@ class TestCheckpointManager:
         mgr2.wait()
         kept = os.listdir(tmp_path / "val_loss")
         assert len(kept) == 1 and "step2" in kept[0]
+
+
+class TestSlimCheckpoints:
+    """trainer.checkpoint_frozen: false — frozen towers excluded from disk
+    (the reference embeds the full frozen state_dict in every checkpoint;
+    SURVEY.md §5 flags exclusion as the rebuild improvement)."""
+
+    def _state_and_mask(self, seed, frozen_value):
+        from speechclip_tpu.training.train_step import TrainState
+
+        params = {
+            "tower": {"w": jnp.full((1000,), frozen_value)},  # frozen
+            "branch": {"w": jax.random.normal(jax.random.key(seed), (4,))},
+        }
+        mask = {"tower": {"w": False}, "branch": {"w": True}}
+        state = TrainState(
+            params=params,
+            model_state={"bn": jnp.zeros((2,))},
+            opt_state=(),
+            step=jnp.asarray(3),
+            rng=jax.random.key(0),
+        )
+        return state, mask
+
+    def test_slim_roundtrip_and_size(self, tmp_path):
+        state, mask = self._state_and_mask(seed=1, frozen_value=7.0)
+        mgr = CheckpointManager(str(tmp_path), slim_mask=mask)
+        mgr.save(jax.device_get(state), 3, {}, None)
+        mgr.wait()
+        assert mgr.is_slim(str(tmp_path / "last"))
+
+        # restore target carries DIFFERENT frozen weights (stand-in for
+        # load_pretrained); they must survive, trainable must come from disk
+        target, _ = self._state_and_mask(seed=99, frozen_value=11.0)
+        restored = mgr.restore(str(tmp_path / "last"), jax.device_get(target))
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["tower"]["w"]), np.full((1000,), 11.0)
+        )
+        np.testing.assert_allclose(
+            np.asarray(restored.params["branch"]["w"]),
+            np.asarray(state.params["branch"]["w"]),
+        )
+        assert int(restored.step) == 3
+
+        # the frozen tower must not be on disk (1-element placeholder)
+        total = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(tmp_path / "last")
+            for f in fs
+        )
+        assert total < 1000 * 4  # far below the 4 KB tower alone
+
+    def test_slim_restore_without_mask_errors(self, tmp_path):
+        state, mask = self._state_and_mask(seed=1, frozen_value=7.0)
+        mgr = CheckpointManager(str(tmp_path), slim_mask=mask)
+        mgr.save(jax.device_get(state), 3, {}, None)
+        mgr.wait()
+        plain = CheckpointManager(str(tmp_path))
+        with pytest.raises(ValueError, match="slim checkpoint"):
+            plain.restore(str(tmp_path / "last"), jax.device_get(state))
+
+    def test_full_checkpoints_unmarked(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path))
+        mgr.save(make_state(1), 1, {}, None)
+        mgr.wait()
+        assert not mgr.is_slim(str(tmp_path / "last"))
