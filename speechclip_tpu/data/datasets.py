@@ -81,17 +81,26 @@ class PairedDataset:
     def __getitem__(self, index: int) -> Dict:
         return self.get_item(index)
 
-    def get_item(self, index: int, skip_wav: bool = False) -> Dict:
+    @property
+    def raw_decode_size(self) -> int:
+        """Host-decode square size for image_mode="raw" (device does the
+        final bicubic resize + normalize)."""
+        return max(self.image_size + 32, 256 * self.image_size // 224)
+
+    def get_item(
+        self, index: int, skip_wav: bool = False, skip_image: bool = False
+    ) -> Dict:
         entry = self.data[index]
         out: Dict = {"id": entry["id"]}
         if "wav" in entry and not skip_wav:
             out["wav"] = read_wav(entry["wav"], self.target_sr)
-        if "image" in entry:
+        if "image" in entry and skip_image:
+            pass
+        elif "image" in entry:
             if self.image_mode == "raw":
                 # cheap decode to a fixed uint8 square; the bicubic resize +
                 # normalize runs batched on device (data/image.py)
-                decode_size = max(self.image_size + 32, 256 * self.image_size // 224)
-                out["image"] = load_image_raw(entry["image"], decode_size)
+                out["image"] = load_image_raw(entry["image"], self.raw_decode_size)
             else:
                 out["image"] = load_image(entry["image"], self.image_size)
         if "text" in entry:

@@ -187,9 +187,27 @@ class BucketedLoader:
                 "wav_len": wav_len.astype(np.int32),
                 "id": np.array([e["id"] for e in entries], np.int64),
             }
+            # image fast path: one threaded C++ JPEG batch decode
+            # (native/jpegio.cc) instead of per-sample PIL
+            native_jpeg = (
+                "image" in entries[0]
+                and getattr(self.dataset, "image_mode", None) == "raw"
+                and native_mod.has_jpeg()
+                and all(
+                    str(e.get("image", "")).lower().endswith((".jpg", ".jpeg"))
+                    for e in entries
+                )
+            )
+            if native_jpeg:
+                batch["image"] = native_mod.decode_jpeg_batch(
+                    [e["image"] for e in entries],
+                    self.dataset.raw_decode_size,
+                )
             if "image" in entries[0] or "text" in entries[0]:
                 samples = [
-                    self.dataset.get_item(int(i), skip_wav=True)
+                    self.dataset.get_item(
+                        int(i), skip_wav=True, skip_image=native_jpeg
+                    )
                     for i in indices
                 ]
             else:

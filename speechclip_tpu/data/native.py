@@ -52,6 +52,15 @@ def load_library() -> Optional[ctypes.CDLL]:
         ]
         lib.wavio_num_samples.restype = ctypes.c_int
         lib.wavio_num_samples.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        if hasattr(lib, "jpegio_decode_batch"):
+            lib.jpegio_decode_batch.restype = ctypes.c_int
+            lib.jpegio_decode_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+            ]
         _LIB = lib
         logger.info("native wavio loaded from %s", path)
     except OSError as e:  # pragma: no cover
@@ -109,3 +118,31 @@ def wav_num_samples(path: str, target_sr: int = 16_000) -> int:
     if n < 0:
         raise RuntimeError(f"native header probe failed for {path!r}")
     return n
+
+
+def has_jpeg() -> bool:
+    lib = load_library()
+    return lib is not None and hasattr(lib, "jpegio_decode_batch")
+
+
+def decode_jpeg_batch(
+    paths: List[str], out_size: int, threads: int = 0
+) -> np.ndarray:
+    """Threaded native JPEG decode (native/jpegio.cc): DCT-prescaled decode,
+    bilinear shorter-side resize, center crop -> (N, out_size, out_size, 3)
+    uint8. Raises RuntimeError naming the first failed file."""
+    lib = load_library()
+    assert lib is not None and has_jpeg(), "native jpegio not built"
+    n = len(paths)
+    out = np.zeros((n, out_size, out_size, 3), np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = lib.jpegio_decode_batch(
+        c_paths,
+        n,
+        out_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        threads,
+    )
+    if rc != 0:
+        raise RuntimeError(f"native jpeg decode failed for {paths[rc - 1]!r}")
+    return out
