@@ -87,6 +87,13 @@ class TrainKWClip_GeneralTransformer(BaseTask):
 
             config.set_path(key.strip(), yaml.safe_load(value.strip()))
 
+        if config.get_path("trainer.fast_rng", False):
+            # rbg PRNG: dropout-mask generation is markedly cheaper than
+            # threefry on TPU (measured 570 -> 547 ms/step at b256, same
+            # loss). Must be set before any key is created. Default stays
+            # threefry (JAX's reproducibility-across-versions default).
+            jax.config.update("jax_default_prng_impl", "rbg")
+
         devices = None
         if args.devices:
             devices = jax.devices()[: args.devices]
