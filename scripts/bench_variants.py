@@ -1,0 +1,81 @@
+"""Scratch bench: encode throughput for model variants on one chip.
+
+Variants: base-parallel (the headline), base-cascaded (adds kw attention,
+VQ, CLIP text tower), large-parallel (HuBERT-large + ViT-L/14 dims).
+Random weights — this measures compute, not quality.
+
+Run: python scripts/bench_variants.py {base_par|base_casc|large_par} BATCH
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+VARIANT = sys.argv[1] if len(sys.argv) > 1 else "base_casc"
+BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+WAV_LEN = 102400
+STEPS = 5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_config
+    from speechclip_tpu.models.speechclip import SpeechCLIPModel
+    from speechclip_tpu.ops.basic import l2_normalize
+
+    cfg = _flagship_config()
+    cfg.audio_encoder.conv_batch_chunk = 256
+    if VARIANT == "base_par":
+        cfg.model_settings.cascaded_objective_weight = 0.0
+    elif VARIANT == "base_casc":
+        cfg.model_settings.parallel_objective_weight = 0.0
+    elif VARIANT == "large_par":
+        cfg.model_settings.cascaded_objective_weight = 0.0
+        cfg.audio_encoder.name = "hubert_large_ll60k"
+        cfg.clip.name = "ViT-L/14"
+        for b in ("parallel_branch", "cascaded_branch"):
+            cfg.model_settings[b].transformer_args.d_model = 1024
+            cfg.model_settings[b].transformer_args.dim_feedforward = 4096
+    else:
+        raise SystemExit(f"unknown variant {VARIANT}")
+
+    model = SpeechCLIPModel(cfg)
+    params, state = model.init(jax.random.key(0))
+
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((BATCH, WAV_LEN)).astype(np.float32))
+    wav_len = jnp.asarray(
+        rng.integers(WAV_LEN // 2, WAV_LEN + 1, BATCH).astype(np.int32)
+    )
+
+    @jax.jit
+    def encode(params, state, wav, wav_len):
+        out = model.encode_speech(params, state, wav, wav_len)
+        feats = [
+            v
+            for k, v in out.items()
+            if k.endswith("audio_feat") and v is not None
+        ]
+        return sum(jnp.sum(l2_normalize(f.astype(jnp.float32))) for f in feats)
+
+    try:
+        float(encode(params, state, wav, wav_len))
+    except Exception as e:
+        print(f"{VARIANT} b{BATCH}: FAILED {type(e).__name__}: {str(e)[:300]}")
+        return
+    times = []
+    for _ in range(STEPS):
+        t0 = time.perf_counter()
+        float(encode(params, state, wav, wav_len))
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    print(f"{VARIANT} b{BATCH}: {med*1e3:.1f} ms -> {BATCH/med:.1f} utt/s/chip")
+
+
+if __name__ == "__main__":
+    main()
