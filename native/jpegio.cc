@@ -68,7 +68,11 @@ void resize_bilinear(const std::vector<uint8_t>& in, int ih, int iw, int oh,
   }
 }
 
-bool decode_one(const char* path, int out_size, uint8_t* out) {
+// pixels/resized live in the caller so the setjmp frame holds no
+// non-volatile automatics that are modified between setjmp and longjmp
+// (C longjmp rule; destructing such an object would be UB)
+bool decode_one(const char* path, int out_size, uint8_t* out,
+                std::vector<uint8_t>* pixels, std::vector<uint8_t>* resized) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
 
@@ -76,7 +80,6 @@ bool decode_one(const char* path, int out_size, uint8_t* out) {
   JpegErr err;
   cinfo.err = jpeg_std_error(&err.mgr);
   err.mgr.error_exit = jpeg_err_exit;
-  std::vector<uint8_t> pixels;
   if (setjmp(err.jump)) {
     jpeg_destroy_decompress(&cinfo);
     std::fclose(f);
@@ -85,7 +88,9 @@ bool decode_one(const char* path, int out_size, uint8_t* out) {
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
-  cinfo.out_color_space = JCS_RGB;  // grayscale/CMYK sources convert
+  // grayscale/YCbCr convert to RGB; CMYK/YCCK cannot (libjpeg only emits
+  // CMYK for those) -> fail here so the caller's PIL fallback handles them
+  cinfo.out_color_space = JCS_RGB;
 
   // DCT prescale: decode at the smallest scale >= out_size on the short side
   int short_side = std::min(cinfo.image_width, cinfo.image_height);
@@ -99,9 +104,9 @@ bool decode_one(const char* path, int out_size, uint8_t* out) {
   }
   jpeg_start_decompress(&cinfo);
   const int iw = cinfo.output_width, ih = cinfo.output_height;
-  pixels.resize(size_t(iw) * ih * 3);
+  pixels->resize(size_t(iw) * ih * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
-    JSAMPROW row = pixels.data() + size_t(cinfo.output_scanline) * iw * 3;
+    JSAMPROW row = pixels->data() + size_t(cinfo.output_scanline) * iw * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
@@ -117,12 +122,11 @@ bool decode_one(const char* path, int out_size, uint8_t* out) {
     oh = out_size;
     ow = int(std::lround(double(iw) * out_size / ih));
   }
-  std::vector<uint8_t> resized;
-  resize_bilinear(pixels, ih, iw, oh, ow, &resized);
+  resize_bilinear(*pixels, ih, iw, oh, ow, resized);
   const int left = (ow - out_size) / 2, top = (oh - out_size) / 2;
   for (int y = 0; y < out_size; ++y)
     std::memcpy(out + size_t(y) * out_size * 3,
-                resized.data() + (size_t(y + top) * ow + left) * 3,
+                resized->data() + (size_t(y + top) * ow + left) * 3,
                 size_t(out_size) * 3);
   return true;
 }
@@ -136,14 +140,16 @@ int jpegio_decode_batch(const char** paths, int n, int out_size, uint8_t* out,
   std::atomic<int> failed{0};
   std::atomic<int> next{0};
   if (threads <= 0) threads = int(std::thread::hardware_concurrency());
+  if (threads <= 0) threads = 1;  // hardware_concurrency() may return 0
   if (threads > n) threads = n > 0 ? n : 1;
 
   auto worker = [&]() {
+    std::vector<uint8_t> pixels, resized;  // reused across this worker's files
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) return;
       uint8_t* slot = out + size_t(i) * out_size * out_size * 3;
-      if (!decode_one(paths[i], out_size, slot)) {
+      if (!decode_one(paths[i], out_size, slot, &pixels, &resized)) {
         int expected = 0;
         failed.compare_exchange_strong(expected, i + 1);
         std::memset(slot, 0, size_t(out_size) * out_size * 3);

@@ -138,6 +138,7 @@ int wavio_decode_batch(const char** paths, int n, int target_sr, long max_len,
   std::atomic<int> failed{0};
   std::atomic<int> next{0};
   if (threads <= 0) threads = int(std::thread::hardware_concurrency());
+  if (threads <= 0) threads = 1;  // hardware_concurrency() may return 0
   if (threads > n) threads = n > 0 ? n : 1;
 
   auto worker = [&]() {

@@ -4,6 +4,11 @@ Variants: base-parallel (the headline), base-cascaded (adds kw attention,
 VQ, CLIP text tower), large-parallel (HuBERT-large + ViT-L/14 dims).
 Random weights — this measures compute, not quality.
 
+Timings are single-shot (NOT the CLAUDE.md fori_loop amortization): at
+390-900 ms per batch the ~15-30 ms dispatch overhead is a 2-7% pessimistic
+bias, acceptable for variant-level comparisons; do not use this script for
+sub-100 ms measurements.
+
 Run: python scripts/bench_variants.py {base_par|base_casc|large_par} BATCH
 """
 

@@ -94,9 +94,7 @@ class PairedDataset:
         out: Dict = {"id": entry["id"]}
         if "wav" in entry and not skip_wav:
             out["wav"] = read_wav(entry["wav"], self.target_sr)
-        if "image" in entry and skip_image:
-            pass
-        elif "image" in entry:
+        if "image" in entry and not skip_image:
             if self.image_mode == "raw":
                 # cheap decode to a fixed uint8 square; the bicubic resize +
                 # normalize runs batched on device (data/image.py)

@@ -21,10 +21,13 @@ over the padded time axis, a property the reference shares batch-to-batch
 from __future__ import annotations
 
 import concurrent.futures as cf
+import logging
 import math
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from .audio import random_crop_max_length
 
@@ -199,10 +202,16 @@ class BucketedLoader:
                 )
             )
             if native_jpeg:
-                batch["image"] = native_mod.decode_jpeg_batch(
-                    [e["image"] for e in entries],
-                    self.dataset.raw_decode_size,
-                )
+                try:
+                    batch["image"] = native_mod.decode_jpeg_batch(
+                        [e["image"] for e in entries],
+                        self.dataset.raw_decode_size,
+                    )
+                except RuntimeError as e:
+                    # e.g. CMYK/YCCK or corrupt files libjpeg cannot convert;
+                    # PIL handles more encodings — fall back for this batch
+                    logger.warning("native jpeg decode failed (%s); PIL fallback", e)
+                    native_jpeg = False
             if "image" in entries[0] or "text" in entries[0]:
                 samples = [
                     self.dataset.get_item(

@@ -129,14 +129,7 @@ class TrainKWClip_GeneralTransformer(BaseTask):
                 )
             elif args.resume or args.ckpt:
                 ckpt_path = args.resume or args.ckpt
-                if trainer.ckpt.is_slim(ckpt_path):
-                    state = state.__class__(
-                        params=trainer.model.load_pretrained(state.params),
-                        model_state=state.model_state,
-                        opt_state=state.opt_state,
-                        step=state.step,
-                        rng=state.rng,
-                    )
+                state = trainer.prepare_restore_target(ckpt_path, state)
                 state = trainer.ckpt.restore(ckpt_path, state)
             state = place_state(state, trainer.mesh)
             metrics = trainer.validate(state)

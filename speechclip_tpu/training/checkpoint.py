@@ -88,7 +88,15 @@ class CheckpointManager:
         self._ckptr.save(os.path.join(path, "state"), state)
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump({"slim": self.slim_mask is not None}, f)
+            json.dump(
+                {
+                    "slim": self.slim_mask is not None,
+                    # key shapes depend on the PRNG impl (threefry vs rbg);
+                    # recorded so a toggle fails with a clear message
+                    "prng_impl": str(jax.config.jax_default_prng_impl),
+                },
+                f,
+            )
         if config is not None:
             with open(os.path.join(self.root_dir, "config.yaml"), "w") as f:
                 f.write(config.to_yaml())
@@ -144,18 +152,31 @@ class CheckpointManager:
 
     # --------------------------------------------------------------- restore
     @staticmethod
-    def is_slim(path: str) -> bool:
+    def read_meta(path: str) -> Dict:
         meta = os.path.join(path, "meta.json")
         if not os.path.exists(meta):
-            return False
+            return {}
         with open(meta) as f:
-            return bool(json.load(f).get("slim"))
+            return json.load(f)
+
+    @classmethod
+    def is_slim(cls, path: str) -> bool:
+        return bool(cls.read_meta(path).get("slim"))
 
     def restore(self, path: str, target: Any) -> Any:
         """Restore into ``target``. For slim checkpoints, ``target`` must
         already carry the frozen tower weights (load_pretrained) — only the
         trainable leaves come from disk."""
         self.wait()
+        saved_prng = self.read_meta(path).get("prng_impl")
+        current_prng = str(jax.config.jax_default_prng_impl)
+        if saved_prng and saved_prng != current_prng:
+            raise ValueError(
+                f"{path} was saved with PRNG impl {saved_prng!r} but the "
+                f"current default is {current_prng!r} (trainer.fast_rng "
+                "toggled?) — rng key shapes differ; restore with the same "
+                "setting"
+            )
         if self.is_slim(path):
             if self.slim_mask is None:
                 raise ValueError(

@@ -141,6 +141,24 @@ class Trainer:
         )
         return train_loader, dev_loader
 
+    def prepare_restore_target(self, ckpt_path: str, state: TrainState) -> TrainState:
+        """Slim checkpoints exclude frozen towers: populate them from the
+        pretrained assets before restore. load_pretrained keeps random init
+        (with a warning) when assets are absent — correct only for runs that
+        were themselves trained on that same seed-deterministic init."""
+        import dataclasses
+
+        if not self.ckpt.is_slim(ckpt_path):
+            return state
+        logger.warning(
+            "%s is a slim checkpoint: frozen towers come from the pretrained "
+            "assets (or seed-deterministic random init if assets are absent)",
+            ckpt_path,
+        )
+        return dataclasses.replace(
+            state, params=self.model.load_pretrained(state.params)
+        )
+
     # ------------------------------------------------------------------- fit
     def fit(
         self,
@@ -166,15 +184,7 @@ class Trainer:
             last = os.path.join(self.workdir, "ckpts", "last")
             resume = last if os.path.exists(last) else None
         if resume:
-            if self.ckpt.is_slim(resume):
-                # slim ckpt: frozen towers come from the pretrained assets
-                state = TrainState(
-                    params=self.model.load_pretrained(state.params),
-                    model_state=state.model_state,
-                    opt_state=state.opt_state,
-                    step=state.step,
-                    rng=state.rng,
-                )
+            state = self.prepare_restore_target(resume, state)
             state = self.ckpt.restore(resume, state)
             logger.info("resumed from %s at step %d", resume, int(state.step))
         elif initial_params is None:
