@@ -84,6 +84,13 @@ class Trainer:
         self.mesh = make_mesh(devices=devices, model=model_axis)
         self.n_data = self.mesh.shape["data"]
 
+        # register the mesh so the "auto" attention backend can dispatch the
+        # Pallas kernel per data shard on multi-chip runs (shard_map; GSPMD
+        # cannot partition a pallas_call itself)
+        from ..ops.attention import set_kernel_mesh
+
+        set_kernel_mesh(self.mesh)
+
         # derive the trainable mask from abstract shapes only — no need to
         # materialize a full random model here
         params_shapes = jax.eval_shape(

@@ -81,3 +81,100 @@ class TestFlashAttention:
                 params, x, x, x, num_heads=4, key_valid_lens=lens
             )
         np.testing.assert_allclose(np.asarray(out_xla), np.asarray(out_p), atol=1e-6)
+
+
+class TestAttentionVmem:
+    """Grouped VMEM-resident attention (kernels/attention_vmem.py),
+    interpret mode on CPU."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_reference(self, causal):
+        from speechclip_tpu.kernels.attention_vmem import (
+            _reference,
+            attention_vmem,
+        )
+
+        q, k, v = make_qkv(b=2, h=4, l=77, d=64, seed=1)
+        out = attention_vmem(q, k, v, None, causal)
+        ref = _reference(q, k, v, None, causal)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_key_length_masking_and_grouping(self):
+        from speechclip_tpu.kernels.attention_vmem import (
+            _forward,
+            _reference,
+        )
+
+        # b*h = 12 groups as 4x3; lens vary per batch row
+        q, k, v = make_qkv(b=3, h=4, l=100, d=32, seed=2)
+        lens = jnp.asarray(np.array([100, 64, 17], np.int32))
+        for g in (1, 3, 4):
+            out = _forward(q, k, v, lens, False, group=g)
+            ref = _reference(q, k, v, lens, False)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=2e-5
+            )
+
+    def test_gradients_flow(self):
+        from speechclip_tpu.kernels.attention_vmem import (
+            _reference,
+            attention_vmem,
+        )
+
+        q, k, v = make_qkv(b=2, h=2, l=64, d=16, seed=4)
+        lens = jnp.asarray(np.array([64, 32], np.int32))
+
+        def loss(q, k, v):
+            return jnp.sum(attention_vmem(q, k, v, lens, False) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(_reference(q, k, v, lens, False) ** 2)
+
+        got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for g, r in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-4)
+
+    def test_auto_backend_inert_on_cpu(self):
+        """The default backend is auto; on the CPU test platform it must
+        resolve to the XLA path (identical results, no kernel)."""
+        from speechclip_tpu import ops
+
+        assert ops.get_attention_backend() == "auto"
+        params = ops.mha_init(jax.random.key(0), 32)
+        x = jnp.asarray(
+            np.random.default_rng(7).standard_normal((2, 12, 32)).astype(np.float32)
+        )
+        lens = jnp.asarray(np.array([12, 5]))
+        out_auto, _ = ops.multi_head_attention(
+            params, x, x, x, num_heads=4, key_valid_lens=lens
+        )
+        with ops.attention_backend("xla"):
+            out_xla, _ = ops.multi_head_attention(
+                params, x, x, x, num_heads=4, key_valid_lens=lens
+            )
+        np.testing.assert_allclose(
+            np.asarray(out_auto), np.asarray(out_xla), atol=0
+        )
+
+    def test_sharded_wrapper_matches_reference(self):
+        """attention_vmem_sharded on the 8-device CPU mesh (interpret-mode
+        kernel per shard) must equal the global reference."""
+        from speechclip_tpu.kernels.attention_vmem import (
+            _reference,
+            attention_vmem_sharded,
+        )
+        from speechclip_tpu.parallel import make_mesh
+
+        mesh = make_mesh(model=1)
+        q, k, v = make_qkv(b=8, h=3, l=40, d=16, seed=9)
+        lens = jnp.asarray(
+            np.random.default_rng(9).integers(1, 41, 8).astype(np.int32)
+        )
+        out = jax.jit(
+            lambda q, k, v, lens: attention_vmem_sharded(
+                q, k, v, lens, False, mesh
+            )
+        )(q, k, v, lens)
+        ref = _reference(q, k, v, lens, False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
