@@ -1,0 +1,253 @@
+"""Fused multi-head self-attention block (Pallas TPU): QKV projection ->
+attention -> output projection in ONE kernel.
+
+Motivation (docs/DESIGN_NOTES.md round-1 budget): at HuBERT-base shapes
+(B=512, T=320, D=768, H=12) the attention sub-block costs ~16 ms/layer as
+three XLA ops (QKV matmul, attention core, out-proj matmul) because every
+intermediate — qkv (B,T,2304), per-head attention output (B,T,768) — makes
+an HBM round trip. Fusing them keeps ALL intermediates of one batch element
+in VMEM:
+
+- grid = (B,): one batch element per cell; T*D and T*T buffers fit VMEM
+  comfortably at T<=512.
+- the three weight matrices use constant index maps, so Mosaic DMAs them
+  once and keeps them VMEM-resident across all B cells (~5 MB bf16).
+- HBM traffic per layer: read x + write out = 2*B*T*D bytes — vs ~10x that
+  for the unfused chain.
+
+The kernel computes torch nn.MultiheadAttention semantics (reference
+avssl/module/kw_modules/TransformerModels.py:111-116 for the branch;
+fairseq self_attn for HuBERT): fused in_proj, per-head scaled-dot-product
+with key-padding lengths, concat, out_proj. Softmax in f32, matmul
+accumulators f32, HBM-resident tensors bf16 (or f32 on the f32 path).
+
+Backward: custom VJP recomputes the XLA MHA (frozen-tower forwards are the
+throughput path; see kernels/attention_vmem.py for the same trade).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+# VMEM plan at T=320, D=768, bf16: weights 4.7 MB (resident), x/out blocks
+# 2x0.5 MB double-buffered, qkv 1.5 MB, per-head (T,T) f32 scores 0.4 MB,
+# assembled head outputs 0.5 MB -> ~9 MB. HuBERT-large dims (D=1024, H=16,
+# ~14 MB by this accounting) compile and win on v5e (10.2 vs 16.8 ms at
+# B=256) — the budget reflects that measured envelope.
+_VMEM_BUDGET = 16 * 1024 * 1024
+
+
+def _kernel(
+    lens_ref,  # SMEM (B,) int32 valid key lengths
+    x_ref,  # (1, T, D)
+    win_ref,  # (D, 3D) resident
+    bin_ref,  # (1, 3D)
+    wout_ref,  # (D, D) resident
+    bout_ref,  # (1, D)
+    o_ref,  # (1, T, D)
+    acc_ref,  # VMEM scratch (T, D) — assembled head outputs
+    *,
+    heads: int,
+    has_lens: bool,
+):
+    b = pl.program_id(0)
+    t = x_ref.shape[1]
+    d = x_ref.shape[2]
+    dh = d // heads
+    scale = 1.0 / math.sqrt(dh)
+
+    x = x_ref[0]
+    qkv = (
+        jax.lax.dot_general(
+            x, win_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bin_ref[0].astype(jnp.float32)[None, :]
+    ).astype(x.dtype)  # (T, 3D)
+
+    ok = None
+    if has_lens:
+        col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        ok = col < lens_ref[b]
+
+    for h in range(heads):  # static unroll over heads
+        q = qkv[:, h * dh : (h + 1) * dh]
+        k = qkv[:, d + h * dh : d + (h + 1) * dh]
+        v = qkv[:, 2 * d + h * dh : 2 * d + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (T, T) f32, VMEM only
+        if ok is not None:
+            s = jnp.where(ok, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        w = (p / denom).astype(x.dtype)
+        acc_ref[:, h * dh : (h + 1) * dh] = jax.lax.dot_general(
+            w, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+
+    o_ref[0] = (
+        jax.lax.dot_general(
+            acc_ref[:], wout_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bout_ref[0].astype(jnp.float32)[None, :]
+    ).astype(o_ref.dtype)
+
+
+def _forward(
+    x: jnp.ndarray,  # (B, T, D)
+    w_in: jnp.ndarray,  # (D, 3D)
+    b_in: jnp.ndarray,  # (3D,)
+    w_out: jnp.ndarray,  # (D, D)
+    b_out: jnp.ndarray,  # (D,)
+    lens: Optional[jnp.ndarray],  # (B,)
+    heads: int,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    b, t, d = x.shape
+    has_lens = lens is not None
+    lens_arg = (
+        lens.astype(jnp.int32) if has_lens else jnp.zeros((b,), jnp.int32)
+    )
+    kernel = functools.partial(_kernel, heads=heads, has_lens=has_lens)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, t, d), lambda i, lens: (i, 0, 0)),
+                pl.BlockSpec((d, 3 * d), lambda i, lens: (0, 0)),
+                pl.BlockSpec((1, 3 * d), lambda i, lens: (0, 0)),
+                pl.BlockSpec((d, d), lambda i, lens: (0, 0)),
+                pl.BlockSpec((1, d), lambda i, lens: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, t, d), lambda i, lens: (i, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((t, d), x.dtype)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * d * 4 * d + 4 * b * heads * t * t * (d // heads),
+            bytes_accessed=2 * b * t * d * x.dtype.itemsize,
+            transcendentals=b * heads * t * t,
+        ),
+        interpret=interpret,
+    )(
+        lens_arg,
+        x,
+        w_in.astype(x.dtype),
+        b_in.reshape(1, -1),
+        w_out.astype(x.dtype),
+        b_out.reshape(1, -1),
+    )
+
+
+def _reference(x, w_in, b_in, w_out, b_out, lens, heads):
+    """XLA MHA (backward recompute + interpret cross-check)."""
+    b, t, d = x.shape
+    dh = d // heads
+    qkv = x @ w_in.astype(x.dtype) + b_in.astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    split = lambda z: z.reshape(b, t, heads, dh).transpose(0, 2, 1, 3)
+    q, k, v = split(q), split(k), split(v)
+    logits = jnp.einsum(
+        "bhld,bhsd->bhls", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(dh)
+    if lens is not None:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, t), 3)
+        logits = jnp.where(col < lens[:, None, None, None], logits, _NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum(
+        "bhls,bhsd->bhld", w, v, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+    return out @ w_out.astype(x.dtype) + b_out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def mha_block(x, w_in, b_in, w_out, b_out, lens, heads):
+    """Fused self-attention block: (B,T,D) -> (B,T,D)."""
+    return _forward(x, w_in, b_in, w_out, b_out, lens, heads)
+
+
+def _fwd(x, w_in, b_in, w_out, b_out, lens, heads):
+    return (
+        _forward(x, w_in, b_in, w_out, b_out, lens, heads),
+        (x, w_in, b_in, w_out, b_out, lens),
+    )
+
+
+def _bwd(heads, residuals, g):
+    x, w_in, b_in, w_out, b_out, lens = residuals
+    _, vjp = jax.vjp(
+        lambda x, wi, bi, wo, bo: _reference(x, wi, bi, wo, bo, lens, heads),
+        x, w_in, b_in, w_out, b_out,
+    )
+    return (*vjp(g), None)
+
+
+mha_block.defvjp(_fwd, _bwd)
+
+
+def mha_block_sharded(x, w_in, b_in, w_out, b_out, lens, heads, mesh,
+                      axis: str = "data"):
+    """shard_map wrapper over the batch axis (weights replicated) — see
+    kernels/attention_vmem.attention_vmem_sharded for why GSPMD needs this."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    rep = P()
+    if lens is None:
+        f = shard_map(
+            lambda x, wi, bi, wo, bo: mha_block(x, wi, bi, wo, bo, None, heads),
+            mesh=mesh,
+            in_specs=(P(axis), rep, rep, rep, rep),
+            out_specs=P(axis),
+            check_rep=False,
+        )
+        return f(x, w_in, b_in, w_out, b_out)
+    f = shard_map(
+        lambda x, wi, bi, wo, bo, l: mha_block(x, wi, bi, wo, bo, l, heads),
+        mesh=mesh,
+        in_specs=(P(axis), rep, rep, rep, rep, P(axis)),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    return f(x, w_in, b_in, w_out, b_out, lens)
+
+
+def block_eligible(b: int, t: int, d: int, heads: int) -> bool:
+    """One batch element per cell: T*T scores + T*3D qkv + weights must fit
+    VMEM; head dim must be lane-sized; T long enough that fusion pays
+    (same L*S >= 128^2 cutoff as attention_vmem)."""
+    if d % heads != 0:
+        return False
+    dh = d // heads
+    if dh % 8 != 0 or dh > 128:
+        return False
+    if t * t < 128 * 128:
+        return False
+    itemsize = 2
+    weights = 3 * d * d * itemsize + d * d * itemsize
+    per_cell = (
+        2 * 2 * t * d * itemsize  # x + out, double buffered
+        + 3 * t * d * itemsize  # qkv
+        + t * t * 4  # one head's scores f32
+        + t * d * itemsize  # assembled outputs
+    )
+    return weights + per_cell <= _VMEM_BUDGET

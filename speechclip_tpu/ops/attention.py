@@ -242,6 +242,55 @@ def multi_head_attention(
     """
     in_w, in_b = params["in_proj"]["w"], params["in_proj"]["b"]
 
+    want_weights = need_weights
+    kernel_ok = (
+        not want_weights
+        and not (train and dropout_rate > 0)
+        and _structured_masks(attn_mask, key_padding_mask, key_valid_lens)
+    )
+
+    # first choice on TPU: the fully fused QKV->attention->out-proj block
+    # (kernels/mha_block.py) — self-attention, length/no mask, one batch
+    # element per grid cell. Measured 12.2 ms vs 22-25 ms for the unfused
+    # chain per HuBERT-base layer at B=512 (docs/DESIGN_NOTES.md).
+    if (
+        (query is key and key is value)
+        and kernel_ok
+        and not causal
+        and _ATTENTION_BACKEND == "auto"
+        and _on_tpu()
+    ):
+        from ..kernels.mha_block import (
+            block_eligible,
+            mha_block,
+            mha_block_sharded,
+        )
+
+        b, t, dm = query.shape
+        ow, ob = params["out_proj"]["w"], params["out_proj"]["b"]
+        bi = in_b if in_b is not None else jnp.zeros((3 * dm,), jnp.float32)
+        bo = ob if ob is not None else jnp.zeros((dm,), jnp.float32)
+        if jax.device_count() == 1:
+            if block_eligible(b, t, dm, num_heads):
+                return (
+                    mha_block(query, in_w, bi, ow, bo, key_valid_lens, num_heads),
+                    None,
+                )
+        elif _KERNEL_MESH is not None:
+            mesh = _KERNEL_MESH
+            n_data = mesh.shape.get("data", 1)
+            if (
+                mesh.shape.get("model", 1) == 1
+                and b % n_data == 0
+                and block_eligible(b // n_data, t, dm, num_heads)
+            ):
+                return (
+                    mha_block_sharded(
+                        query, in_w, bi, ow, bo, key_valid_lens, num_heads, mesh
+                    ),
+                    None,
+                )
+
     def proj(x, w, b):
         y = x @ w.astype(x.dtype)
         return y if b is None else y + b.astype(x.dtype)
@@ -263,12 +312,6 @@ def multi_head_attention(
     k = _split_heads(k, num_heads)
     v = _split_heads(v, num_heads)
 
-    want_weights = need_weights
-    kernel_ok = (
-        not want_weights
-        and not (train and dropout_rate > 0)
-        and _structured_masks(attn_mask, key_padding_mask, key_valid_lens)
-    )
     if kernel_ok and _ATTENTION_BACKEND == "auto" and _on_tpu():
         from ..kernels.attention_vmem import (
             attention_vmem,

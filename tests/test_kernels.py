@@ -178,3 +178,72 @@ class TestAttentionVmem:
         )(q, k, v, lens)
         ref = _reference(q, k, v, lens, False)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestMhaBlock:
+    """Fused QKV->attention->out-proj block (kernels/mha_block.py),
+    interpret mode on CPU."""
+
+    def _params(self, d, seed=0):
+        rng = np.random.default_rng(seed)
+        mk = lambda *s: jnp.asarray((rng.standard_normal(s) * 0.1).astype(np.float32))
+        return mk(d, 3 * d), mk(3 * d), mk(d, d), mk(d)
+
+    @pytest.mark.parametrize("use_lens", [False, True])
+    def test_matches_reference(self, use_lens):
+        from speechclip_tpu.kernels.mha_block import _reference, mha_block
+
+        b, t, d, h = 3, 40, 48, 6
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+        wi, bi, wo, bo = self._params(d)
+        lens = (
+            jnp.asarray(np.array([40, 17, 1], np.int32)) if use_lens else None
+        )
+        out = mha_block(x, wi, bi, wo, bo, lens, h)
+        ref = _reference(x, wi, bi, wo, bo, lens, h)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
+    def test_gradients_flow(self):
+        from speechclip_tpu.kernels.mha_block import _reference, mha_block
+
+        b, t, d, h = 2, 16, 32, 4
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+        wi, bi, wo, bo = self._params(d, seed=3)
+        lens = jnp.asarray(np.array([16, 9], np.int32))
+
+        def loss(fn):
+            return lambda x, wi, wo: jnp.sum(
+                fn(x, wi, bi, wo, bo, lens, h) ** 2
+            )
+
+        got = jax.grad(loss(mha_block), argnums=(0, 1, 2))(x, wi, wo)
+        want = jax.grad(loss(_reference), argnums=(0, 1, 2))(x, wi, wo)
+        for g, r in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), atol=1e-4
+            )
+
+    def test_sharded_wrapper(self):
+        from speechclip_tpu.kernels.mha_block import (
+            _reference,
+            mha_block_sharded,
+        )
+        from speechclip_tpu.parallel import make_mesh
+
+        mesh = make_mesh(model=1)
+        b, t, d, h = 8, 24, 32, 4
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+        wi, bi, wo, bo = self._params(d, seed=6)
+        lens = jnp.asarray(rng.integers(1, t + 1, b).astype(np.int32))
+        out = jax.jit(
+            lambda x, wi, bi, wo, bo, lens: mha_block_sharded(
+                x, wi, bi, wo, bo, lens, h, mesh
+            )
+        )(x, wi, bi, wo, bo, lens)
+        ref = _reference(x, wi, bi, wo, bo, lens, h)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
