@@ -46,6 +46,16 @@ _NEG_INF = float(jnp.finfo(jnp.float32).min)
 _VMEM_BUDGET = 16 * 1024 * 1024
 
 
+def _ln_rows(y32: jnp.ndarray, g_ref, b_ref, eps: float) -> jnp.ndarray:
+    """Row-wise LayerNorm in f32, matching ops.basic.layer_norm."""
+    mean = jnp.mean(y32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y32 - mean), axis=-1, keepdims=True)
+    y = (y32 - mean) * jax.lax.rsqrt(var + eps)
+    return y * g_ref[0].astype(jnp.float32)[None, :] + b_ref[0].astype(
+        jnp.float32
+    )[None, :]
+
+
 def _kernel(
     lens_ref,  # SMEM (B,) int32 valid key lengths
     x_ref,  # (1, T, D)
@@ -53,11 +63,15 @@ def _kernel(
     bin_ref,  # (1, 3D)
     wout_ref,  # (D, D) resident
     bout_ref,  # (1, D)
+    lng_ref,  # (1, D) LayerNorm scale (ln_mode != "none")
+    lnb_ref,  # (1, D) LayerNorm bias
     o_ref,  # (1, T, D)
     acc_ref,  # VMEM scratch (T, D) — assembled head outputs
     *,
     heads: int,
     has_lens: bool,
+    ln_mode: str,  # "none" | "post" (LN(x+attn(x))) | "pre" (x+attn(LN(x)))
+    eps: float,
 ):
     b = pl.program_id(0)
     t = x_ref.shape[1]
@@ -66,9 +80,15 @@ def _kernel(
     scale = 1.0 / math.sqrt(dh)
 
     x = x_ref[0]
+    if ln_mode == "pre":
+        h_in = _ln_rows(x.astype(jnp.float32), lng_ref, lnb_ref, eps).astype(
+            x.dtype
+        )
+    else:
+        h_in = x
     qkv = (
         jax.lax.dot_general(
-            x, win_ref[:], (((1,), (0,)), ((), ())),
+            h_in, win_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         + bin_ref[0].astype(jnp.float32)[None, :]
@@ -98,13 +118,18 @@ def _kernel(
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
 
-    o_ref[0] = (
+    out32 = (
         jax.lax.dot_general(
             acc_ref[:], wout_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         + bout_ref[0].astype(jnp.float32)[None, :]
-    ).astype(o_ref.dtype)
+    )
+    if ln_mode == "post":
+        out32 = _ln_rows(out32 + x.astype(jnp.float32), lng_ref, lnb_ref, eps)
+    elif ln_mode == "pre":
+        out32 = out32 + x.astype(jnp.float32)
+    o_ref[0] = out32.astype(o_ref.dtype)
 
 
 def _forward(
@@ -115,6 +140,10 @@ def _forward(
     b_out: jnp.ndarray,  # (D,)
     lens: Optional[jnp.ndarray],  # (B,)
     heads: int,
+    ln_g: Optional[jnp.ndarray] = None,  # (D,) for ln_mode != "none"
+    ln_b: Optional[jnp.ndarray] = None,
+    ln_mode: str = "none",
+    eps: float = 1e-5,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     if interpret is None:
@@ -124,7 +153,12 @@ def _forward(
     lens_arg = (
         lens.astype(jnp.int32) if has_lens else jnp.zeros((b,), jnp.int32)
     )
-    kernel = functools.partial(_kernel, heads=heads, has_lens=has_lens)
+    if ln_mode == "none":
+        ln_g = jnp.ones((d,), jnp.float32)
+        ln_b = jnp.zeros((d,), jnp.float32)
+    kernel = functools.partial(
+        _kernel, heads=heads, has_lens=has_lens, ln_mode=ln_mode, eps=eps
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -135,6 +169,8 @@ def _forward(
                 pl.BlockSpec((d, 3 * d), lambda i, lens: (0, 0)),
                 pl.BlockSpec((1, 3 * d), lambda i, lens: (0, 0)),
                 pl.BlockSpec((d, d), lambda i, lens: (0, 0)),
+                pl.BlockSpec((1, d), lambda i, lens: (0, 0)),
+                pl.BlockSpec((1, d), lambda i, lens: (0, 0)),
                 pl.BlockSpec((1, d), lambda i, lens: (0, 0)),
             ],
             out_specs=pl.BlockSpec((1, t, d), lambda i, lens: (i, 0, 0)),
@@ -154,7 +190,32 @@ def _forward(
         b_in.reshape(1, -1),
         w_out.astype(x.dtype),
         b_out.reshape(1, -1),
+        ln_g.reshape(1, -1),
+        ln_b.reshape(1, -1),
     )
+
+
+def _ln_ref(y, g, b, eps):
+    y32 = y.astype(jnp.float32)
+    mean = jnp.mean(y32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y32 - mean), axis=-1, keepdims=True)
+    out = (y32 - mean) * jax.lax.rsqrt(var + eps)
+    return (out * g.astype(jnp.float32) + b.astype(jnp.float32)).astype(
+        y.dtype
+    )
+
+
+def _layer_reference(x, w_in, b_in, w_out, b_out, ln_g, ln_b, lens, heads,
+                     ln_mode, eps):
+    if ln_mode == "pre":
+        h = _reference(
+            _ln_ref(x, ln_g, ln_b, eps), w_in, b_in, w_out, b_out, lens, heads
+        )
+        return x + h
+    h = _reference(x, w_in, b_in, w_out, b_out, lens, heads)
+    if ln_mode == "post":
+        return _ln_ref(x + h, ln_g, ln_b, eps)
+    return h
 
 
 def _reference(x, w_in, b_in, w_out, b_out, lens, heads):
@@ -204,6 +265,43 @@ def _bwd(heads, residuals, g):
 mha_block.defvjp(_fwd, _bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def mha_layer_block(x, w_in, b_in, w_out, b_out, ln_g, ln_b, lens, heads,
+                    ln_mode, eps):
+    """Fused attention HALF-LAYER: residual + LayerNorm folded in.
+
+    ln_mode "post": LN(x + MHA(x)) — HuBERT-base (fairseq post-norm).
+    ln_mode "pre":  x + MHA(LN(x)) — HuBERT-large (layer_norm_first).
+    The residual reuses the x block already resident in VMEM, saving the
+    separate (B,T,D) add+LN HBM round trip.
+    """
+    return _forward(
+        x, w_in, b_in, w_out, b_out, lens, heads, ln_g, ln_b, ln_mode, eps
+    )
+
+
+def _layer_fwd(x, w_in, b_in, w_out, b_out, ln_g, ln_b, lens, heads, ln_mode,
+               eps):
+    out = _forward(
+        x, w_in, b_in, w_out, b_out, lens, heads, ln_g, ln_b, ln_mode, eps
+    )
+    return out, (x, w_in, b_in, w_out, b_out, ln_g, ln_b, lens)
+
+
+def _layer_bwd(heads, ln_mode, eps, residuals, g):
+    x, w_in, b_in, w_out, b_out, ln_g, ln_b, lens = residuals
+    _, vjp = jax.vjp(
+        lambda x, wi, bi, wo, bo, lg, lb: _layer_reference(
+            x, wi, bi, wo, bo, lg, lb, lens, heads, ln_mode, eps
+        ),
+        x, w_in, b_in, w_out, b_out, ln_g, ln_b,
+    )
+    return (*vjp(g), None)
+
+
+mha_layer_block.defvjp(_layer_fwd, _layer_bwd)
+
+
 def mha_block_sharded(x, w_in, b_in, w_out, b_out, lens, heads, mesh,
                       axis: str = "data"):
     """shard_map wrapper over the batch axis (weights replicated) — see
@@ -229,6 +327,36 @@ def mha_block_sharded(x, w_in, b_in, w_out, b_out, lens, heads, mesh,
         check_rep=False,
     )
     return f(x, w_in, b_in, w_out, b_out, lens)
+
+
+def mha_layer_block_sharded(x, w_in, b_in, w_out, b_out, ln_g, ln_b, lens,
+                            heads, ln_mode, eps, mesh, axis: str = "data"):
+    """shard_map wrapper for mha_layer_block over the batch axis."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    rep = P()
+    if lens is None:
+        f = shard_map(
+            lambda x, wi, bi, wo, bo, lg, lb: mha_layer_block(
+                x, wi, bi, wo, bo, lg, lb, None, heads, ln_mode, eps
+            ),
+            mesh=mesh,
+            in_specs=(P(axis), rep, rep, rep, rep, rep, rep),
+            out_specs=P(axis),
+            check_rep=False,
+        )
+        return f(x, w_in, b_in, w_out, b_out, ln_g, ln_b)
+    f = shard_map(
+        lambda x, wi, bi, wo, bo, lg, lb, l: mha_layer_block(
+            x, wi, bi, wo, bo, lg, lb, l, heads, ln_mode, eps
+        ),
+        mesh=mesh,
+        in_specs=(P(axis), rep, rep, rep, rep, rep, rep, P(axis)),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    return f(x, w_in, b_in, w_out, b_out, ln_g, ln_b, lens)
 
 
 def block_eligible(b: int, t: int, d: int, heads: int) -> bool:

@@ -272,6 +272,74 @@ def pos_conv_apply(params: Params, cfg: HubertConfig, x: jnp.ndarray) -> jnp.nda
     return gelu(y)
 
 
+def _fused_encoder_layer(
+    params: Params,
+    cfg: HubertConfig,
+    x: jnp.ndarray,
+    frame_lens: Optional[jnp.ndarray],
+) -> Optional[jnp.ndarray]:
+    """Whole encoder layer in two fused Pallas calls (mha_layer_block +
+    ffn_block, residual/LN folded in) when eligible: inference path (no
+    dropout), bf16 (Mosaic cannot lower the f32 path's exact-erf GELU),
+    "auto" backend on TPU, shapes within the kernels' VMEM envelopes.
+    Returns None to fall back to the unfused path."""
+    from ..ops import attention as attn_mod
+
+    if x.dtype != jnp.bfloat16:
+        return None
+    if attn_mod.get_attention_backend() != "auto" or not attn_mod._on_tpu():
+        return None
+    from ..kernels.ffn_block import ffn_block, ffn_block_sharded, ffn_eligible
+    from ..kernels.mha_block import (
+        block_eligible,
+        mha_layer_block,
+        mha_layer_block_sharded,
+    )
+
+    b, t, d = x.shape
+    f = params["fc1"]["w"].shape[1]
+    heads = cfg.encoder_heads
+    mode = "pre" if cfg.layer_norm_first else "post"
+    sa = params["self_attn"]
+    wi, bi = sa["in_proj"]["w"], sa["in_proj"]["b"]
+    wo, bo = sa["out_proj"]["w"], sa["out_proj"]["b"]
+    if bi is None:
+        bi = jnp.zeros((3 * d,), jnp.float32)
+    if bo is None:
+        bo = jnp.zeros((d,), jnp.float32)
+    ln1 = params["self_attn_layer_norm"]
+    ln2 = params["final_layer_norm"]
+
+    if jax.device_count() == 1:
+        if not (block_eligible(b, t, d, heads) and ffn_eligible(b, t, d, f)):
+            return None
+        h = mha_layer_block(
+            x, wi, bi, wo, bo, ln1["scale"], ln1["bias"], frame_lens, heads,
+            mode, 1e-5,
+        )
+        return ffn_block(
+            h, params["fc1"]["w"], params["fc1"]["b"], params["fc2"]["w"],
+            params["fc2"]["b"], ln2["scale"], ln2["bias"], mode, 1e-5,
+        )
+    mesh = attn_mod.get_kernel_mesh()
+    if mesh is None or mesh.shape.get("model", 1) != 1:
+        return None
+    n_data = mesh.shape.get("data", 1)
+    if b % n_data != 0:
+        return None
+    bl = b // n_data
+    if not (block_eligible(bl, t, d, heads) and ffn_eligible(bl, t, d, f)):
+        return None
+    h = mha_layer_block_sharded(
+        x, wi, bi, wo, bo, ln1["scale"], ln1["bias"], frame_lens, heads,
+        mode, 1e-5, mesh,
+    )
+    return ffn_block_sharded(
+        h, params["fc1"]["w"], params["fc1"]["b"], params["fc2"]["w"],
+        params["fc2"]["b"], ln2["scale"], ln2["bias"], mode, 1e-5, mesh,
+    )
+
+
 def encoder_layer_apply(
     params: Params,
     cfg: HubertConfig,
@@ -282,6 +350,10 @@ def encoder_layer_apply(
     frame_lens: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """fairseq TransformerSentenceEncoderLayer (post- or pre-norm)."""
+    if not train and frame_lens is not None:
+        fused = _fused_encoder_layer(params, cfg, x, frame_lens)
+        if fused is not None:
+            return fused
     if rng is not None:
         r_attn, r1, r2, r3 = jax.random.split(rng, 4)
     else:

@@ -247,3 +247,108 @@ class TestMhaBlock:
         )(x, wi, bi, wo, bo, lens)
         ref = _reference(x, wi, bi, wo, bo, lens, h)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestFusedLayerKernels:
+    """Layer-mode kernels: mha_layer_block + ffn_block (interpret mode)."""
+
+    def _mha_params(self, d, seed=0):
+        rng = np.random.default_rng(seed)
+        mk = lambda *s: jnp.asarray((rng.standard_normal(s) * 0.1).astype(np.float32))
+        return mk(d, 3 * d), mk(3 * d), mk(d, d), mk(d)
+
+    @pytest.mark.parametrize("mode", ["post", "pre"])
+    def test_mha_layer_block(self, mode):
+        from speechclip_tpu.kernels.mha_block import (
+            _layer_reference,
+            mha_layer_block,
+        )
+
+        b, t, d, h = 3, 40, 48, 6
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+        wi, bi, wo, bo = self._mha_params(d)
+        g = jnp.asarray((1 + 0.1 * rng.standard_normal(d)).astype(np.float32))
+        be = jnp.asarray((0.1 * rng.standard_normal(d)).astype(np.float32))
+        lens = jnp.asarray(np.array([40, 17, 5], np.int32))
+        out = mha_layer_block(x, wi, bi, wo, bo, g, be, lens, h, mode, 1e-5)
+        ref = _layer_reference(x, wi, bi, wo, bo, g, be, lens, h, mode, 1e-5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    @pytest.mark.parametrize("mode", ["post", "pre"])
+    def test_ffn_block(self, mode):
+        from speechclip_tpu.kernels.ffn_block import _reference, ffn_block
+
+        b, t, d, f = 3, 40, 48, 96
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+        mk = lambda *s: jnp.asarray((rng.standard_normal(s) * 0.1).astype(np.float32))
+        w1, b1, w2, b2 = mk(d, f), mk(f), mk(f, d), mk(d)
+        g = jnp.asarray((1 + 0.1 * rng.standard_normal(d)).astype(np.float32))
+        be = jnp.asarray((0.1 * rng.standard_normal(d)).astype(np.float32))
+        out = ffn_block(x, w1, b1, w2, b2, g, be, mode, 1e-5)
+        ref = _reference(x, w1, b1, w2, b2, g, be, mode, 1e-5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def test_gradients(self):
+        from speechclip_tpu.kernels.ffn_block import _reference, ffn_block
+        from speechclip_tpu.kernels.mha_block import (
+            _layer_reference,
+            mha_layer_block,
+        )
+
+        b, t, d, h, f = 2, 16, 32, 4, 64
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+        wi, bi, wo, bo = self._mha_params(d, seed=4)
+        mk = lambda *s: jnp.asarray((rng.standard_normal(s) * 0.1).astype(np.float32))
+        w1, b1, w2, b2 = mk(d, f), mk(f), mk(f, d), mk(d)
+        g = jnp.ones((d,), jnp.float32)
+        be = jnp.zeros((d,), jnp.float32)
+        lens = jnp.asarray(np.array([16, 9], np.int32))
+
+        def full(fn_m, fn_f):
+            def loss(x, wi, w1):
+                h_ = fn_m(x, wi, bi, wo, bo, g, be, lens, h, "post", 1e-5)
+                return jnp.sum(fn_f(h_, w1, b1, w2, b2, g, be, "post", 1e-5) ** 2)
+            return loss
+
+        got = jax.grad(full(mha_layer_block, ffn_block), argnums=(0, 1, 2))(x, wi, w1)
+        want = jax.grad(full(_layer_reference, _reference), argnums=(0, 1, 2))(x, wi, w1)
+        for a, b_ in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
+    def test_sharded_wrappers(self):
+        from speechclip_tpu.kernels.ffn_block import (
+            _reference as ffn_ref,
+            ffn_block_sharded,
+        )
+        from speechclip_tpu.kernels.mha_block import (
+            _layer_reference,
+            mha_layer_block_sharded,
+        )
+        from speechclip_tpu.parallel import make_mesh
+
+        mesh = make_mesh(model=1)
+        b, t, d, h, f = 8, 24, 32, 4, 64
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+        wi, bi, wo, bo = self._mha_params(d, seed=6)
+        mk = lambda *s: jnp.asarray((rng.standard_normal(s) * 0.1).astype(np.float32))
+        w1, b1, w2, b2 = mk(d, f), mk(f), mk(f, d), mk(d)
+        g = jnp.ones((d,), jnp.float32)
+        be = jnp.zeros((d,), jnp.float32)
+        lens = jnp.asarray(rng.integers(1, t + 1, b).astype(np.int32))
+        out = jax.jit(
+            lambda x: ffn_block_sharded(
+                mha_layer_block_sharded(
+                    x, wi, bi, wo, bo, g, be, lens, h, "post", 1e-5, mesh
+                ),
+                w1, b1, w2, b2, g, be, "post", 1e-5, mesh,
+            )
+        )(x)
+        ref = ffn_ref(
+            _layer_reference(x, wi, bi, wo, bo, g, be, lens, h, "post", 1e-5),
+            w1, b1, w2, b2, g, be, "post", 1e-5,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
