@@ -1,0 +1,159 @@
+"""Scratch bench: train-step component budget on one chip.
+
+Decomposes the full training step (both branches, frozen towers) into
+stages to find where the ~470 ms at batch 256 goes:
+
+  audio    — HuBERT forward (13 states) + weighted sum
+  image    — ViT-B/32 forward
+  forward  — model.forward (audio + image + both branches + features)
+  loss     — forward + compute_loss
+  grad     — value_and_grad of the loss (no optimizer)
+  step     — full train step (grad + clip + Adam + schedule)
+
+Amortized fori_loop methodology per stage (docs/DESIGN_NOTES.md); each
+stage is one remote compile — pass a subset to keep compiles short.
+
+Run: python scripts/bench_train_budget.py [STAGES [BATCH [ITERS]]]
+STAGES = comma list of audio,image,forward,loss,grad,step (default all)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+STAGES = (
+    sys.argv[1] if len(sys.argv) > 1 else "audio,image,forward,loss,grad,step"
+).split(",")
+BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+ITERS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+WAV_LEN = 102400
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_config
+    from speechclip_tpu.models.speechclip import SpeechCLIPModel
+    from speechclip_tpu.training import (
+        build_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = _flagship_config()
+    cfg.audio_encoder.conv_batch_chunk = min(BATCH, 256)
+    model = SpeechCLIPModel(cfg)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "wav": jnp.asarray(
+            rng.standard_normal((BATCH, WAV_LEN)).astype(np.float32)
+        ),
+        "wav_len": jnp.asarray(
+            rng.integers(WAV_LEN // 2, WAV_LEN + 1, BATCH).astype(np.int32)
+        ),
+        "image": jnp.asarray(
+            rng.standard_normal((BATCH, 224, 224, 3)).astype(np.float32)
+        ),
+        "id": jnp.asarray(np.arange(BATCH, dtype=np.int32) // 5),
+    }
+
+    params, state = model.init(jax.random.key(0))
+
+    def timed(name, fn, *args):
+        f = jax.jit(fn)
+        float(jnp.sum(f(*args)).astype(jnp.float32))  # compile+warm
+        t0 = time.perf_counter()
+        float(jnp.sum(f(*args)).astype(jnp.float32))
+        dt = (time.perf_counter() - t0) / ITERS
+        print(f"{name:10s} {dt*1e3:8.1f} ms/iter")
+        return dt
+
+    def loop(body):
+        def fn(p, batch):
+            def step(i, acc):
+                b2 = dict(batch)
+                b2["wav"] = batch["wav"] + (acc[0] * 0).astype(
+                    batch["wav"].dtype
+                )
+                out = body(p, b2)
+                return jnp.ones((1,), jnp.float32) * out + i * 0.0
+
+            return jax.lax.fori_loop(
+                0, ITERS, step, jnp.zeros((1,), jnp.float32)
+            )
+
+        return fn
+
+    if "audio" in STAGES:
+        def audio(p, b):
+            feat, _ = model.forward_audio(p, b["wav"], b["wav_len"])
+            return jnp.mean(feat.astype(jnp.float32))
+
+        timed("audio", loop(audio), params, batch)
+
+    if "image" in STAGES:
+        def image(p, b):
+            feat = model.forward_image(p, b["image"])
+            return jnp.mean(feat.astype(jnp.float32))
+
+        timed("image", loop(image), params, batch)
+
+    if "forward" in STAGES:
+        def forward(p, b):
+            loss_feats, _, _, _ = model.forward(p, state, b, rng=None, train=False)
+            return jnp.mean(
+                loss_feats["parallel_audio_feat"].astype(jnp.float32)
+            )
+
+        timed("forward", loop(forward), params, batch)
+
+    if "loss" in STAGES:
+        def loss(p, b):
+            loss_feats, _, _, _ = model.forward(p, state, b, rng=None, train=False)
+            return model.compute_loss(p, loss_feats)["loss"].astype(jnp.float32)
+
+        timed("loss", loop(loss), params, batch)
+
+    if "grad" in STAGES:
+        def lossfn(p, b):
+            loss_feats, _, _, _ = model.forward(
+                p, state, b, rng=jax.random.key(0), train=True
+            )
+            return model.compute_loss(p, loss_feats)["loss"]
+
+        def grad(p, b):
+            l, g = jax.value_and_grad(lossfn)(p, b)
+            gsum = sum(
+                jnp.sum(jnp.abs(x).astype(jnp.float32))
+                for x in jax.tree.leaves(g)
+            )
+            return l.astype(jnp.float32) + 0 * gsum
+
+        timed("grad", loop(grad), params, batch)
+
+    if "step" in STAGES:
+        tx, _ = build_optimizer(cfg, model.trainable_mask(params))
+        tstate = create_train_state(model, tx, jax.random.key(0))
+        train_step = make_train_step(model, tx)
+
+        def step_fn(s, b):
+            s2, metrics = train_step(s, b)
+            return metrics["loss"].astype(jnp.float32) + 0.0 * jnp.sum(
+                s2.step.astype(jnp.float32)
+            )
+
+        f = jax.jit(step_fn)
+        float(f(tstate, batch))
+        t0 = time.perf_counter()
+        float(f(tstate, batch))
+        dt = time.perf_counter() - t0
+        print(f"{'step1shot':10s} {dt*1e3:8.1f} ms (single shot)")
+
+
+if __name__ == "__main__":
+    main()
