@@ -141,18 +141,24 @@ def main():
         tstate = create_train_state(model, tx, jax.random.key(0))
         train_step = make_train_step(model, tx)
 
-        def step_fn(s, b):
-            s2, metrics = train_step(s, b)
-            return metrics["loss"].astype(jnp.float32) + 0.0 * jnp.sum(
-                s2.step.astype(jnp.float32)
-            )
+        def multi(s, b):
+            def body(i, s):
+                b2 = dict(b)
+                b2["wav"] = b["wav"] + (0.0 * i).astype(b["wav"].dtype)
+                s2, _ = train_step(s, b2)
+                return s2
 
-        f = jax.jit(step_fn)
+            s_final = jax.lax.fori_loop(0, ITERS, body, s)
+            return jnp.sum(
+                s_final.params["weighted_sum"]["weights"].astype(jnp.float32)
+            ) + s_final.step.astype(jnp.float32)
+
+        f = jax.jit(multi)
         float(f(tstate, batch))
         t0 = time.perf_counter()
         float(f(tstate, batch))
-        dt = time.perf_counter() - t0
-        print(f"{'step1shot':10s} {dt*1e3:8.1f} ms (single shot)")
+        dt = (time.perf_counter() - t0) / ITERS
+        print(f"{'step':10s} {dt*1e3:8.1f} ms/iter (amortized)")
 
 
 if __name__ == "__main__":
