@@ -272,6 +272,18 @@ def pos_conv_apply(params: Params, cfg: HubertConfig, x: jnp.ndarray) -> jnp.nda
     return gelu(y)
 
 
+# ffn_block on/off for the fused layer path (scripts/bench_ffn_block.py
+# measures the kernel ~1.5 ms/layer SLOWER than XLA's chain in isolation at
+# base dims, but e2e encode is faster with it — pipeline effects; keep a
+# switch so the trade stays measurable)
+_FFN_KERNEL = True
+
+
+def set_ffn_kernel(on: bool) -> None:
+    global _FFN_KERNEL
+    _FFN_KERNEL = bool(on)
+
+
 def _fused_encoder_layer(
     params: Params,
     cfg: HubertConfig,
@@ -310,13 +322,25 @@ def _fused_encoder_layer(
     ln1 = params["self_attn_layer_norm"]
     ln2 = params["final_layer_norm"]
 
+    use_ffn_kernel = _FFN_KERNEL and ffn_eligible(b, t, d, f)
+
+    def xla_ffn(h):
+        h_in = layer_norm(ln2, h) if mode == "pre" else h
+        mid = gelu(linear(params["fc1"], h_in))
+        out = linear(params["fc2"], mid)
+        if mode == "post":
+            return layer_norm(ln2, h + out)
+        return h + out
+
     if jax.device_count() == 1:
-        if not (block_eligible(b, t, d, heads) and ffn_eligible(b, t, d, f)):
+        if not block_eligible(b, t, d, heads):
             return None
         h = mha_layer_block(
             x, wi, bi, wo, bo, ln1["scale"], ln1["bias"], frame_lens, heads,
             mode, 1e-5,
         )
+        if not use_ffn_kernel:
+            return xla_ffn(h)
         return ffn_block(
             h, params["fc1"]["w"], params["fc1"]["b"], params["fc2"]["w"],
             params["fc2"]["b"], ln2["scale"], ln2["bias"], mode, 1e-5,
@@ -328,12 +352,14 @@ def _fused_encoder_layer(
     if b % n_data != 0:
         return None
     bl = b // n_data
-    if not (block_eligible(bl, t, d, heads) and ffn_eligible(bl, t, d, f)):
+    if not block_eligible(bl, t, d, heads):
         return None
     h = mha_layer_block_sharded(
         x, wi, bi, wo, bo, ln1["scale"], ln1["bias"], frame_lens, heads,
         mode, 1e-5, mesh,
     )
+    if not (_FFN_KERNEL and ffn_eligible(bl, t, d, f)):
+        return xla_ffn(h)
     return ffn_block_sharded(
         h, params["fc1"]["w"], params["fc1"]["b"], params["fc2"]["w"],
         params["fc2"]["b"], ln2["scale"], ln2["bias"], mode, 1e-5, mesh,
