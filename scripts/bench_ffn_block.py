@@ -24,6 +24,7 @@ def main():
 
     from speechclip_tpu.kernels.ffn_block import _forward as ffn_fwd
     from speechclip_tpu.kernels.ffn_block import _reference as ffn_ref
+    from speechclip_tpu.kernels.ffn_block import ffn_eligible
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((BATCH, T, D)).astype(np.float32)).astype(jnp.bfloat16)
@@ -58,10 +59,12 @@ def main():
     timed("xla chain (+res+LN)", loop(
         lambda x, w1, b1, w2, b2: ffn_ref(x, w1, b1, w2, b2, g, be, "post", 1e-5)
     ))
+    if not ffn_eligible(BATCH, T, D, F):
+        print("shape not ffn_eligible; kernel would exceed VMEM")
+        return
     timed("fused ffn_block", loop(
         lambda x, w1, b1, w2, b2: ffn_fwd(x, w1, b1, w2, b2, g, be, "post", 1e-5)
     ))
-
     of = np.asarray(ffn_fwd(x, w1, b1, w2, b2, g, be, "post", 1e-5), np.float32)
     oc = np.asarray(ffn_ref(x, w1, b1, w2, b2, g, be, "post", 1e-5), np.float32)
     print(f"max |fused - chain| = {np.abs(of - oc).max():.3e}")
