@@ -22,7 +22,7 @@ import numpy as np
 
 A100_BASELINE_UTT_PER_SEC = 250.0
 
-BATCH = 512  # conv frontend chunked (conv_batch_chunk=256) to fit HBM
+BATCH = 1024  # conv frontend chunked (conv_batch_chunk=256) to fit HBM
 WAV_LEN = 102400  # 6.4 s @ 16 kHz
 GALLERY = 5000
 STEPS = 8
