@@ -352,3 +352,80 @@ class TestFusedLayerKernels:
             w1, b1, w2, b2, g, be, "post", 1e-5,
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+class TestMultichipDispatch:
+    """The multi-device kernel branches (mesh registered, device_count > 1)
+    never run in the single-chip TPU environment — exercise them on the
+    8-device CPU mesh by monkeypatching the platform gate; the kernels run
+    in interpret mode per shard."""
+
+    def test_mha_mesh_branch_matches_xla(self, monkeypatch):
+        from speechclip_tpu import ops
+        from speechclip_tpu.ops import attention as attn_mod
+        from speechclip_tpu.parallel import make_mesh
+
+        params = ops.mha_init(jax.random.key(0), 64)
+        x = jnp.asarray(
+            np.random.default_rng(11)
+            .standard_normal((8, 130, 64))
+            .astype(np.float32)
+        )
+        lens = jnp.asarray(
+            np.random.default_rng(12).integers(1, 131, 8).astype(np.int32)
+        )
+        with ops.attention_backend("xla"):
+            want, _ = ops.multi_head_attention(
+                params, x, x, x, num_heads=8, key_valid_lens=lens
+            )
+        monkeypatch.setattr(attn_mod, "_on_tpu", lambda: True)
+        mesh = make_mesh(model=1)
+        attn_mod.set_kernel_mesh(mesh)
+        try:
+            got, _ = ops.multi_head_attention(
+                params, x, x, x, num_heads=8, key_valid_lens=lens
+            )
+        finally:
+            attn_mod.set_kernel_mesh(None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+    def test_fused_layer_mesh_branch_matches_unfused(self, monkeypatch):
+        from speechclip_tpu.models import hubert
+        from speechclip_tpu.ops import attention as attn_mod
+        from speechclip_tpu.parallel import make_mesh
+
+        cfg = hubert.HubertConfig(
+            encoder_layers=1,
+            encoder_embed_dim=64,
+            encoder_ffn_dim=128,
+            encoder_heads=8,
+        )
+        rng = jax.random.key(0)
+        layer = hubert.hubert_init(rng, cfg)["encoder"]["layers"][0]
+        x32 = jnp.asarray(
+            np.random.default_rng(13)
+            .standard_normal((8, 130, 64))
+            .astype(np.float32)
+        )
+        lens = jnp.asarray(
+            np.random.default_rng(14).integers(100, 131, 8).astype(np.int32)
+        )
+        from speechclip_tpu.ops.masking import key_padding_mask
+
+        kpm = key_padding_mask(lens, 130)
+        want = hubert.encoder_layer_apply(
+            layer, cfg, x32, kpm, None, False, lens
+        )
+        # bf16 + fake TPU + mesh -> the sharded fused path
+        monkeypatch.setattr(attn_mod, "_on_tpu", lambda: True)
+        mesh = make_mesh(model=1)
+        attn_mod.set_kernel_mesh(mesh)
+        try:
+            got = hubert.encoder_layer_apply(
+                layer, cfg, x32.astype(jnp.bfloat16), kpm, None, False, lens
+            )
+        finally:
+            attn_mod.set_kernel_mesh(None)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want), atol=0.05, rtol=0.05
+        )
