@@ -1,0 +1,79 @@
+"""Shared dispatch helpers for the fused Pallas kernels.
+
+GSPMD cannot partition a pallas_call, so every kernel family has the same
+three-way dispatch (docs/SCALING.md "Pallas kernels under the mesh"):
+single device -> call the kernel directly; multi-device with a registered
+data-parallel mesh -> shard_map over the data axis; otherwise -> caller
+falls back to the XLA path. This module is the single copy of that ladder
+and of the shard_map import shim.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+
+import inspect
+
+try:  # jax >= 0.8 spelling (check_rep was renamed check_vma)
+    from jax import shard_map as _shard_map_fn
+
+    _CHECK_KW = (
+        "check_vma"
+        if "check_vma" in inspect.signature(_shard_map_fn).parameters
+        else "check_rep"
+    )
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map_fn
+
+    _CHECK_KW = "check_rep"
+
+
+def shard_map(fn, *, mesh, in_specs, out_specs, check_rep: bool = False):
+    """Version-portable shard_map with replication checking disabled by
+    default (pallas_call results have no replication rule)."""
+    return _shard_map_fn(
+        fn,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        **{_CHECK_KW: check_rep},
+    )
+
+
+def data_shard_map(fn, mesh, n_arrays: int, n_sharded: int, axis: str = "data"):
+    """shard_map `fn` with the first `n_sharded` of `n_arrays` args split
+    over `axis` and the rest replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    specs = tuple(
+        P(axis) if i < n_sharded else P() for i in range(n_arrays)
+    )
+    return shard_map(
+        fn, mesh=mesh, in_specs=specs, out_specs=P(axis), check_rep=False
+    )
+
+
+def mesh_plan(mesh, batch: int, eligible: Callable[[int], bool]):
+    """Dispatch decision for a batch-pointwise kernel.
+
+    Returns "single" (call the kernel directly), a Mesh (wrap in shard_map
+    over its data axis), or None (fall back to XLA). `eligible(local_batch)`
+    checks the kernel's VMEM envelope at the per-shard batch.
+    """
+    n = jax.device_count()
+    if n == 1:
+        return "single" if eligible(batch) else None
+    if mesh is None:
+        return None
+    if mesh.size != n:
+        # a sub-mesh was registered (trainer over a device subset); code
+        # jitted over other devices must not be forced onto it
+        return None
+    if mesh.shape.get("model", 1) != 1:
+        return None  # TP shards heads/FFN columns; XLA partitions natively
+    n_data = mesh.shape.get("data", 1)
+    if batch % n_data != 0:
+        return None
+    return mesh if eligible(batch // n_data) else None

@@ -213,21 +213,24 @@ def _bwd(causal, residuals, g):
 attention_vmem.defvjp(_fwd, _bwd)
 
 
-def vmem_eligible(b: int, h: int, l: int, s: int, d: int) -> bool:
+def vmem_eligible(
+    b: int, h: int, l: int, s: int, d: int, itemsize: int = 2
+) -> bool:
     """Shapes this kernel handles well: sequences long enough that the
     (L, S) score traffic dominates the XLA path (at tiny L — ViT's 50
     patches, CLIP text's 77 tokens — XLA's fused attention wins: the
     whole-row matmuls underutilize the MXU and the HBM saving is small;
     measured flat-to-negative on the train step), short enough that the
     score matrix fits VMEM, head dim a multiple of the sublane granule,
-    and batch*head divisible into groups."""
+    and batch*head divisible into groups. `itemsize` is the q/k/v dtype's
+    (2 bf16 / 4 f32) — f32 doubles the VMEM footprint."""
     if d % 8 != 0 or d > 128:
         return False
     if l * s < 128 * 128:  # score buffers too small to pay for the kernel
         return False
     if l * s * 6 > _VMEM_BUDGET // 2:  # score matrix dominates; keep slack
         return False
-    return _group_size(b * h, l, s, d, 2) >= 2
+    return _group_size(b * h, l, s, d, itemsize) >= 2
 
 
 def attention_vmem_sharded(q, k, v, lens, causal, mesh, axis: str = "data"):
@@ -240,24 +243,16 @@ def attention_vmem_sharded(q, k, v, lens, causal, mesh, axis: str = "data"):
     collectives. Requires the model axis to be trivial (TP shards heads;
     see ops/attention gating).
     """
-    from jax.experimental.shard_map import shard_map
-    from jax.sharding import PartitionSpec as P
+    from ._dispatch import data_shard_map
 
-    spec = P(axis)
     if lens is None:
-        f = shard_map(
+        f = data_shard_map(
             lambda q, k, v: attention_vmem(q, k, v, None, causal),
-            mesh=mesh,
-            in_specs=(spec, spec, spec),
-            out_specs=spec,
-            check_rep=False,
+            mesh, n_arrays=3, n_sharded=3, axis=axis,
         )
         return f(q, k, v)
-    f = shard_map(
+    f = data_shard_map(
         lambda q, k, v, l: attention_vmem(q, k, v, l, causal),
-        mesh=mesh,
-        in_specs=(spec, spec, spec, spec),
-        out_specs=spec,
-        check_rep=False,
+        mesh, n_arrays=4, n_sharded=4, axis=axis,
     )
     return f(q, k, v, lens)

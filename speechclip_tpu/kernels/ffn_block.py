@@ -176,7 +176,7 @@ ffn_block.defvjp(_fwd, _bwd)
 def ffn_block_sharded(x, w1, b1, w2, b2, ln_g, ln_b, ln_mode, eps, mesh,
                       axis: str = "data"):
     """shard_map wrapper over the batch axis (weights replicated)."""
-    from jax.experimental.shard_map import shard_map
+    from ._dispatch import shard_map
     from jax.sharding import PartitionSpec as P
 
     rep = P()
@@ -192,13 +192,16 @@ def ffn_block_sharded(x, w1, b1, w2, b2, ln_g, ln_b, ln_mode, eps, mesh,
     return f(x, w1, b1, w2, b2, ln_g, ln_b)
 
 
-def ffn_eligible(b: int, t: int, d: int, f: int) -> bool:
-    """Weights + one cell must fit VMEM; T long enough to matter; bf16-only
-    on TPU would be enforced by the caller (erf does not lower in Mosaic),
-    so this only checks geometry."""
-    if t * t < 128 * 128:
+def ffn_eligible(
+    b: int, t: int, d: int, f: int, itemsize: int = 2
+) -> bool:
+    """Weights + one cell must fit VMEM; T long enough that per-cell
+    matmul rows utilize the MXU (T >= 128 — the FFN has no (T,T) score
+    buffer; this is a plain row-count threshold); bf16-only on TPU is
+    enforced by the caller (erf does not lower in Mosaic). `itemsize` is
+    the dtype's (2 bf16 / 4 f32)."""
+    if t < 128:
         return False
-    itemsize = 2
     weights = 2 * d * f * itemsize
     per_cell = (
         2 * 2 * t * d * itemsize  # x + out, double buffered

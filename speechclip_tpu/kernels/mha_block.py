@@ -305,8 +305,9 @@ mha_layer_block.defvjp(_layer_fwd, _layer_bwd)
 def mha_block_sharded(x, w_in, b_in, w_out, b_out, lens, heads, mesh,
                       axis: str = "data"):
     """shard_map wrapper over the batch axis (weights replicated) — see
-    kernels/attention_vmem.attention_vmem_sharded for why GSPMD needs this."""
-    from jax.experimental.shard_map import shard_map
+    kernels/attention_vmem.attention_vmem_sharded for why GSPMD needs this.
+    lens rides as the LAST sharded arg so weights stay replicated."""
+    from ._dispatch import shard_map
     from jax.sharding import PartitionSpec as P
 
     rep = P()
@@ -332,7 +333,7 @@ def mha_block_sharded(x, w_in, b_in, w_out, b_out, lens, heads, mesh,
 def mha_layer_block_sharded(x, w_in, b_in, w_out, b_out, ln_g, ln_b, lens,
                             heads, ln_mode, eps, mesh, axis: str = "data"):
     """shard_map wrapper for mha_layer_block over the batch axis."""
-    from jax.experimental.shard_map import shard_map
+    from ._dispatch import shard_map
     from jax.sharding import PartitionSpec as P
 
     rep = P()
@@ -359,10 +360,14 @@ def mha_layer_block_sharded(x, w_in, b_in, w_out, b_out, ln_g, ln_b, lens,
     return f(x, w_in, b_in, w_out, b_out, ln_g, ln_b, lens)
 
 
-def block_eligible(b: int, t: int, d: int, heads: int) -> bool:
+def block_eligible(
+    b: int, t: int, d: int, heads: int, itemsize: int = 2
+) -> bool:
     """One batch element per cell: T*T scores + T*3D qkv + weights must fit
     VMEM; head dim must be lane-sized; T long enough that fusion pays
-    (same L*S >= 128^2 cutoff as attention_vmem)."""
+    (same L*S >= 128^2 cutoff as attention_vmem). `itemsize` is the
+    activation/weight dtype's (2 bf16 / 4 f32) — f32 doubles the VMEM
+    footprint and must be gated accordingly."""
     if d % heads != 0:
         return False
     dh = d // heads
@@ -370,7 +375,6 @@ def block_eligible(b: int, t: int, d: int, heads: int) -> bool:
         return False
     if t * t < 128 * 128:
         return False
-    itemsize = 2
     weights = 3 * d * d * itemsize + d * d * itemsize
     per_cell = (
         2 * 2 * t * d * itemsize  # x + out, double buffered

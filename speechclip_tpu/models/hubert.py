@@ -322,7 +322,9 @@ def _fused_encoder_layer(
     ln1 = params["self_attn_layer_norm"]
     ln2 = params["final_layer_norm"]
 
-    use_ffn_kernel = _FFN_KERNEL and ffn_eligible(b, t, d, f)
+    from ..kernels._dispatch import mesh_plan
+
+    isz = x.dtype.itemsize
 
     def xla_ffn(h):
         h_in = layer_norm(ln2, h) if mode == "pre" else h
@@ -332,9 +334,17 @@ def _fused_encoder_layer(
             return layer_norm(ln2, h + out)
         return h + out
 
-    if jax.device_count() == 1:
-        if not block_eligible(b, t, d, heads):
-            return None
+    plan = mesh_plan(
+        attn_mod.get_kernel_mesh(),
+        b,
+        lambda lb: block_eligible(lb, t, d, heads, isz),
+    )
+    if plan is None:
+        return None
+    local_b = b if plan == "single" else b // plan.shape.get("data", 1)
+    use_ffn_kernel = _FFN_KERNEL and ffn_eligible(local_b, t, d, f, isz)
+
+    if plan == "single":
         h = mha_layer_block(
             x, wi, bi, wo, bo, ln1["scale"], ln1["bias"], frame_lens, heads,
             mode, 1e-5,
@@ -345,24 +355,15 @@ def _fused_encoder_layer(
             h, params["fc1"]["w"], params["fc1"]["b"], params["fc2"]["w"],
             params["fc2"]["b"], ln2["scale"], ln2["bias"], mode, 1e-5,
         )
-    mesh = attn_mod.get_kernel_mesh()
-    if mesh is None or mesh.shape.get("model", 1) != 1:
-        return None
-    n_data = mesh.shape.get("data", 1)
-    if b % n_data != 0:
-        return None
-    bl = b // n_data
-    if not block_eligible(bl, t, d, heads):
-        return None
     h = mha_layer_block_sharded(
         x, wi, bi, wo, bo, ln1["scale"], ln1["bias"], frame_lens, heads,
-        mode, 1e-5, mesh,
+        mode, 1e-5, plan,
     )
-    if not (_FFN_KERNEL and ffn_eligible(bl, t, d, f)):
+    if not use_ffn_kernel:
         return xla_ffn(h)
     return ffn_block_sharded(
         h, params["fc1"]["w"], params["fc1"]["b"], params["fc2"]["w"],
-        params["fc2"]["b"], ln2["scale"], ln2["bias"], mode, 1e-5, mesh,
+        params["fc2"]["b"], ln2["scale"], ln2["bias"], mode, 1e-5, plan,
     )
 
 

@@ -4,9 +4,11 @@ from .attention import (
     attention_backend,
     causal_bias,
     get_attention_backend,
+    get_kernel_mesh,
     mha_init,
     multi_head_attention,
     set_attention_backend,
+    set_kernel_mesh,
 )
 from .basic import (
     ACTIVATIONS,

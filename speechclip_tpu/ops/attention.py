@@ -6,9 +6,15 @@ layers and the CLIP towers. The math is standard SDPA; the padding mask is a
 bool (B, S) tensor with True at padding (torch convention). Softmax runs in
 f32 regardless of the compute dtype.
 
-A Pallas flash-attention kernel (speechclip_tpu.kernels.flash_attention) can
-be selected as the backend for the no-weights path on TPU; the XLA path is
-the reference implementation and the fallback everywhere else.
+Backend dispatch ("auto" by default): on TPU, self-attention with
+length/no masks runs in the fused Pallas MHA block
+(kernels/mha_block.py) and other structured-mask shapes in the grouped
+VMEM-resident kernel (kernels/attention_vmem.py), each subject to
+VMEM-envelope eligibility and the mesh rules in kernels/_dispatch.py;
+the streaming flash kernel (kernels/flash_attention.py) is opt-in via
+set_attention_backend("pallas") for long sequences. The XLA path is the
+reference implementation and the fallback everywhere else (off-TPU,
+unstructured masks, requested weights, active dropout).
 """
 
 from __future__ import annotations
@@ -138,6 +144,18 @@ def get_kernel_mesh():
     return _KERNEL_MESH
 
 
+@contextmanager
+def kernel_mesh(mesh):
+    """Scope a kernel-dispatch mesh (set_kernel_mesh is process-global;
+    use this when mixing meshed and un-meshed jitted code in one process)."""
+    old = get_kernel_mesh()
+    set_kernel_mesh(mesh)
+    try:
+        yield
+    finally:
+        set_kernel_mesh(old)
+
+
 def _structured_masks(attn_mask, key_padding_mask, key_valid_lens) -> bool:
     """Kernel-expressible masking: per-batch valid key lengths and/or a
     causal flag. Arbitrary additive or bool masks stay on the XLA path."""
@@ -260,6 +278,7 @@ def multi_head_attention(
         and _ATTENTION_BACKEND == "auto"
         and _on_tpu()
     ):
+        from ..kernels._dispatch import mesh_plan
         from ..kernels.mha_block import (
             block_eligible,
             mha_block,
@@ -267,29 +286,27 @@ def multi_head_attention(
         )
 
         b, t, dm = query.shape
-        ow, ob = params["out_proj"]["w"], params["out_proj"]["b"]
-        bi = in_b if in_b is not None else jnp.zeros((3 * dm,), jnp.float32)
-        bo = ob if ob is not None else jnp.zeros((dm,), jnp.float32)
-        if jax.device_count() == 1:
-            if block_eligible(b, t, dm, num_heads):
+        isz = query.dtype.itemsize
+        plan = mesh_plan(
+            _KERNEL_MESH,
+            b,
+            lambda lb: block_eligible(lb, t, dm, num_heads, isz),
+        )
+        if plan is not None:
+            ow, ob = params["out_proj"]["w"], params["out_proj"]["b"]
+            bi = in_b if in_b is not None else jnp.zeros((3 * dm,), jnp.float32)
+            bo = ob if ob is not None else jnp.zeros((dm,), jnp.float32)
+            if plan == "single":
                 return (
                     mha_block(query, in_w, bi, ow, bo, key_valid_lens, num_heads),
                     None,
                 )
-        elif _KERNEL_MESH is not None:
-            mesh = _KERNEL_MESH
-            n_data = mesh.shape.get("data", 1)
-            if (
-                mesh.shape.get("model", 1) == 1
-                and b % n_data == 0
-                and block_eligible(b // n_data, t, dm, num_heads)
-            ):
-                return (
-                    mha_block_sharded(
-                        query, in_w, bi, ow, bo, key_valid_lens, num_heads, mesh
-                    ),
-                    None,
-                )
+            return (
+                mha_block_sharded(
+                    query, in_w, bi, ow, bo, key_valid_lens, num_heads, plan
+                ),
+                None,
+            )
 
     def proj(x, w, b):
         y = x @ w.astype(x.dtype)
@@ -313,6 +330,7 @@ def multi_head_attention(
     v = _split_heads(v, num_heads)
 
     if kernel_ok and _ATTENTION_BACKEND == "auto" and _on_tpu():
+        from ..kernels._dispatch import mesh_plan
         from ..kernels.attention_vmem import (
             attention_vmem,
             attention_vmem_sharded,
@@ -320,27 +338,20 @@ def multi_head_attention(
         )
 
         b, lq, sq, dh = q.shape[0], q.shape[2], k.shape[2], q.shape[3]
-        if jax.device_count() == 1:
-            if vmem_eligible(b, num_heads, lq, sq, dh):
-                out = attention_vmem(q, k, v, key_valid_lens, causal)
-                out = _merge_heads(out)
-                return linear(params["out_proj"], out), None
-        elif _KERNEL_MESH is not None:
-            # multi-chip: explicit shard_map over the data axis (GSPMD has
-            # no pallas_call partitioning rule). Heads must be whole per
-            # shard, so a non-trivial model (TP) axis falls back to XLA.
-            mesh = _KERNEL_MESH
-            n_data = mesh.shape.get("data", 1)
-            if (
-                mesh.shape.get("model", 1) == 1
-                and b % n_data == 0
-                and vmem_eligible(b // n_data, num_heads, lq, sq, dh)
-            ):
-                out = attention_vmem_sharded(
-                    q, k, v, key_valid_lens, causal, mesh
-                )
-                out = _merge_heads(out)
-                return linear(params["out_proj"], out), None
+        isz = q.dtype.itemsize
+        plan = mesh_plan(
+            _KERNEL_MESH,
+            b,
+            lambda lb: vmem_eligible(lb, num_heads, lq, sq, dh, isz),
+        )
+        if plan == "single":
+            out = attention_vmem(q, k, v, key_valid_lens, causal)
+            out = _merge_heads(out)
+            return linear(params["out_proj"], out), None
+        if plan is not None:
+            out = attention_vmem_sharded(q, k, v, key_valid_lens, causal, plan)
+            out = _merge_heads(out)
+            return linear(params["out_proj"], out), None
     if kernel_ok and _flash_eligible(
         attn_mask, key_padding_mask, key_valid_lens, causal
     ):
