@@ -290,80 +290,22 @@ def _fused_encoder_layer(
     x: jnp.ndarray,
     frame_lens: Optional[jnp.ndarray],
 ) -> Optional[jnp.ndarray]:
-    """Whole encoder layer in two fused Pallas calls (mha_layer_block +
-    ffn_block, residual/LN folded in) when eligible: inference path (no
-    dropout), bf16 (Mosaic cannot lower the f32 path's exact-erf GELU),
-    "auto" backend on TPU, shapes within the kernels' VMEM envelopes.
-    Returns None to fall back to the unfused path."""
-    from ..ops import attention as attn_mod
+    """Whole encoder layer as two fused Pallas calls when eligible
+    (kernels/fused_layer.py has the gate list); None -> unfused path."""
+    from ..kernels.fused_layer import fused_encoder_layer
 
-    if x.dtype != jnp.bfloat16:
-        return None
-    if attn_mod.get_attention_backend() != "auto" or not attn_mod._on_tpu():
-        return None
-    from ..kernels.ffn_block import ffn_block, ffn_block_sharded, ffn_eligible
-    from ..kernels.mha_block import (
-        block_eligible,
-        mha_layer_block,
-        mha_layer_block_sharded,
-    )
-
-    b, t, d = x.shape
-    f = params["fc1"]["w"].shape[1]
-    heads = cfg.encoder_heads
-    mode = "pre" if cfg.layer_norm_first else "post"
-    sa = params["self_attn"]
-    wi, bi = sa["in_proj"]["w"], sa["in_proj"]["b"]
-    wo, bo = sa["out_proj"]["w"], sa["out_proj"]["b"]
-    if bi is None:
-        bi = jnp.zeros((3 * d,), jnp.float32)
-    if bo is None:
-        bo = jnp.zeros((d,), jnp.float32)
-    ln1 = params["self_attn_layer_norm"]
-    ln2 = params["final_layer_norm"]
-
-    from ..kernels._dispatch import mesh_plan
-
-    isz = x.dtype.itemsize
-
-    def xla_ffn(h):
-        h_in = layer_norm(ln2, h) if mode == "pre" else h
-        mid = gelu(linear(params["fc1"], h_in))
-        out = linear(params["fc2"], mid)
-        if mode == "post":
-            return layer_norm(ln2, h + out)
-        return h + out
-
-    plan = mesh_plan(
-        attn_mod.get_kernel_mesh(),
-        b,
-        lambda lb: block_eligible(lb, t, d, heads, isz),
-    )
-    if plan is None:
-        return None
-    local_b = b if plan == "single" else b // plan.shape.get("data", 1)
-    use_ffn_kernel = _FFN_KERNEL and ffn_eligible(local_b, t, d, f, isz)
-
-    if plan == "single":
-        h = mha_layer_block(
-            x, wi, bi, wo, bo, ln1["scale"], ln1["bias"], frame_lens, heads,
-            mode, 1e-5,
-        )
-        if not use_ffn_kernel:
-            return xla_ffn(h)
-        return ffn_block(
-            h, params["fc1"]["w"], params["fc1"]["b"], params["fc2"]["w"],
-            params["fc2"]["b"], ln2["scale"], ln2["bias"], mode, 1e-5,
-        )
-    h = mha_layer_block_sharded(
-        x, wi, bi, wo, bo, ln1["scale"], ln1["bias"], frame_lens, heads,
-        mode, 1e-5, plan,
-    )
-    if not use_ffn_kernel:
-        return xla_ffn(h)
-    return ffn_block_sharded(
-        h, params["fc1"]["w"], params["fc1"]["b"], params["fc2"]["w"],
-        params["fc2"]["b"], ln2["scale"], ln2["bias"], mode, 1e-5, plan,
+    return fused_encoder_layer(
+        x,
+        frame_lens,
+        heads=cfg.encoder_heads,
+        mode="pre" if cfg.layer_norm_first else "post",
+        eps=1e-5,
+        attn=params["self_attn"],
+        fc1=params["fc1"],
+        fc2=params["fc2"],
+        ln1=params["self_attn_layer_norm"],
+        ln2=params["final_layer_norm"],
+        use_ffn_kernel=_FFN_KERNEL,
     )
 
 
@@ -377,7 +319,15 @@ def encoder_layer_apply(
     frame_lens: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """fairseq TransformerSentenceEncoderLayer (post- or pre-norm)."""
-    if not train and frame_lens is not None:
+    # fused path: inference, or training with every dropout disabled (the
+    # kernels' custom VJPs give exact gradients; in-kernel dropout would
+    # not be reproducible in the XLA backward recompute)
+    no_dropout = (
+        cfg.dropout == 0.0
+        and cfg.attention_dropout == 0.0
+        and cfg.activation_dropout == 0.0
+    )
+    if (not train or no_dropout) and frame_lens is not None:
         fused = _fused_encoder_layer(params, cfg, x, frame_lens)
         if fused is not None:
             return fused

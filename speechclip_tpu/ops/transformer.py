@@ -62,6 +62,31 @@ def encoder_layer_apply(
     rng: Optional[jax.Array] = None,
     train: bool = False,
 ) -> jnp.ndarray:
+    # fused Pallas layer path (kernels/fused_layer.py): gelu layers with
+    # structured masks and no active dropout — the branch transformers in
+    # eval/encode, or training with dropout 0
+    if (
+        activation == "gelu"
+        and not (train and dropout_rate > 0)
+        and (key_padding_mask is None or key_valid_lens is not None)
+    ):
+        from ..kernels.fused_layer import fused_encoder_layer
+
+        fused = fused_encoder_layer(
+            x,
+            key_valid_lens,
+            heads=nhead,
+            mode="pre" if norm_first else "post",
+            eps=layer_norm_eps,
+            attn=params["self_attn"],
+            fc1=params["linear1"],
+            fc2=params["linear2"],
+            ln1=params["norm1"],
+            ln2=params["norm2"],
+        )
+        if fused is not None:
+            return fused
+
     act = ACTIVATIONS[activation]
     if rng is not None:
         r_attn, r1, r2, r3 = jax.random.split(rng, 4)
@@ -187,6 +212,24 @@ def mha_and_norm_apply(
     """LayerNorm(MHA(src) + src); optionally per-head attention weights
     (average_attn_weights=False), as used for attention-map visualization
     (reference TransformerModels.py:130-135)."""
+    if (
+        not need_weights
+        and not (train and dropout_rate > 0)
+        and (key_padding_mask is None or key_valid_lens is not None)
+    ):
+        from ..kernels.fused_layer import fused_mha_and_norm
+
+        fused = fused_mha_and_norm(
+            src,
+            key_valid_lens,
+            heads=nhead,
+            eps=layer_norm_eps,
+            attn=params["attn"],
+            norm=params["norm"],
+        )
+        if fused is not None:
+            return fused, None
+
     attn_out, weights = multi_head_attention(
         params["attn"],
         src,
