@@ -225,3 +225,34 @@ class TestLoaderDeterminism:
         e1 = [b["id"].tolist() for b in loader]
         e2 = [b["id"].tolist() for b in loader]
         assert e1 != e2  # reshuffled per epoch
+
+
+class TestVocabStats:
+    """data/vocab_stats.py — the offline reduced-vocab stat tool (reference
+    avssl/data/flickr_stat/stat_textCLIP_input.py:1-56)."""
+
+    def test_compute_and_save(self, tmp_path):
+        from speechclip_tpu.data.vocab_stats import (
+            compute_vocab_usage,
+            save_vocab_usage,
+        )
+        from speechclip_tpu.models.tokenizer import CLIPTokenizer
+
+        from .test_trainer import make_tiny_bpe
+
+        tok = CLIPTokenizer(make_tiny_bpe(tmp_path / "merges.txt.gz"))
+        texts = ["the thing", "the thing the thing", "a thing"]
+        data = compute_vocab_usage(texts, tok)
+        assert data.ndim == 2 and data.shape[1] == 2
+        # SOT/EOT appear once per caption
+        counts = dict(data.tolist())
+        sot, eot = tok.sot_id, tok.eot_id
+        assert counts[sot] == 3 and counts[eot] == 3
+        save_vocab_usage(data, str(tmp_path / "stat"))
+        import numpy as _np
+
+        by_freq = _np.load(tmp_path / "stat" / "text_clip_vocab_usage_byfreq.npy")
+        by_id = _np.load(tmp_path / "stat" / "text_clip_vocab_usage_byID.npy")
+        assert (by_freq[:, 1][:-1] >= by_freq[:, 1][1:]).all()
+        assert (by_id[:, 0][:-1] <= by_id[:, 0][1:]).all()
+        assert (tmp_path / "stat" / "text_clip_vocab_usage_byfreq.txt").exists()

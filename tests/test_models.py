@@ -597,3 +597,19 @@ class TestLossVariantsAndFinetune:
         assert g > 0  # gradients flow into the encoder when trainable
         mask = model.trainable_mask(params)
         assert all(jax.tree.leaves(mask["audio_encoder"]))
+
+
+def test_s3prl_plus_encoder_type_accepted(tmp_path):
+    """audio_encoder.type s3prl_plus (reference S3prlSpeechEncoderPlus,
+    speech_encoder_plus.py:110-316) resolves to the same hubert
+    implementation and runs end to end."""
+    cfg = tiny_speechclip_config(tmp_path)
+    cfg.audio_encoder.type = "s3prl_plus"
+    model = SpeechCLIPModel(cfg)
+    params, _ = model.init(jax.random.key(0))
+    rng = np.random.default_rng(3)
+    wav = jnp.asarray(rng.standard_normal((2, 2000)).astype(np.float32))
+    wav_len = jnp.asarray(np.array([2000, 1500], np.int32))
+    feat, feat_len = model.forward_audio(params, wav, wav_len)
+    assert feat.shape[0] == 2 and feat.ndim == 3
+    assert int(feat_len[0]) >= int(feat_len[1])
