@@ -10,7 +10,7 @@ and of the shard_map import shim.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 

@@ -30,7 +30,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
 
 from .mha_block import _ln_ref, _ln_rows
 
