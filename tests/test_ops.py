@@ -512,6 +512,21 @@ class TestWeightedSumAndMLP:
         out = ops.weighted_sum_apply(params, xs)
         np.testing.assert_allclose(np.asarray(out), np.full((2, 3, 8), 1.5), atol=1e-6)
 
+    def test_weighted_sum_unrolled_matches_stacked(self):
+        """The tuple path (unrolled multiply-add, no HBM stack) must equal
+        the ndarray stacked-einsum path."""
+        rng_np = np.random.default_rng(4)
+        params = {"weights": jnp.asarray(rng_np.standard_normal(5).astype(np.float32))}
+        xs = [
+            jnp.asarray(rng_np.standard_normal((3, 7, 16)).astype(np.float32))
+            for _ in range(5)
+        ]
+        out_unrolled = ops.weighted_sum_apply(params, xs)
+        out_stacked = ops.weighted_sum_apply(params, jnp.stack(xs, 0))
+        np.testing.assert_allclose(
+            np.asarray(out_unrolled), np.asarray(out_stacked), atol=2e-6
+        )
+
     def test_mlp_matches_torch(self):
         units = [16, 32, 8]
         torch.manual_seed(2)
