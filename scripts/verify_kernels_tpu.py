@@ -6,7 +6,7 @@ retrieval agreement against a random 5k gallery. Run after any kernel
 change; expected: top-1 agreement 1.000, top-10 overlap ~1.000, mean
 cosine ~1.0 (bf16 rounding differences only).
 
-Run: python scripts/verify_kernels_tpu.py [BATCH]
+Run: python scripts/verify_kernels_tpu.py [BATCH [cascaded]]
 """
 
 import sys
@@ -16,6 +16,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+CASCADED = len(sys.argv) > 2 and sys.argv[2] == "cascaded"
 
 
 def main():
@@ -23,16 +24,18 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_config
-    from speechclip_tpu.models import branches
     from speechclip_tpu.models.speechclip import SpeechCLIPModel
     from speechclip_tpu.ops import attention_backend
     from speechclip_tpu.ops.basic import l2_normalize
 
     cfg = _flagship_config()
-    cfg.model_settings.cascaded_objective_weight = 0.0
+    if CASCADED:
+        cfg.model_settings.parallel_objective_weight = 0.0
+    else:
+        cfg.model_settings.cascaded_objective_weight = 0.0
     cfg.audio_encoder.conv_batch_chunk = min(BATCH, 256)
     model = SpeechCLIPModel(cfg)
-    params, _ = model.init(jax.random.key(0))
+    params, state = model.init(jax.random.key(0))
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.standard_normal((BATCH, 102400)).astype(np.float32))
     wav_len = jnp.asarray(
@@ -45,14 +48,9 @@ def main():
     )
 
     def encode(params, wav, wav_len):
-        feat, alen = model.forward_audio(params, wav, wav_len)
-        out = branches.parallel_branch_apply(
-            params["parallel_branch"],
-            model.config.model_settings.parallel_branch,
-            feat,
-            alen,
-        )
-        return l2_normalize(out.astype(jnp.float32))
+        out = model.encode_speech(params, state, wav, wav_len)
+        key = "cascaded_audio_feat" if CASCADED else "parallel_audio_feat"
+        return l2_normalize(out[key].astype(jnp.float32))
 
     feats = {}
     for backend in ("auto", "xla"):
