@@ -429,3 +429,72 @@ class TestMultichipDispatch:
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(want), atol=0.05, rtol=0.05
         )
+
+    def test_dropout_free_training_uses_fused_path_with_exact_grads(
+        self, monkeypatch
+    ):
+        """With every dropout rate 0, encoder_layer_apply takes the fused
+        path even in train mode; forward and gradients (custom VJP -> XLA
+        recompute) must match the unfused path run at the same dtype.
+
+        Pitfalls this test avoids: batch must divide the 8-device mesh
+        (else mesh_plan falls back to XLA and nothing is compared), and the
+        loss must not be sum(LN(y)^2) — LayerNorm makes that nearly
+        constant, so its true gradient is ~0 and dominated by rounding."""
+        from speechclip_tpu.models import hubert
+        from speechclip_tpu.ops import attention as attn_mod
+        from speechclip_tpu.ops.masking import key_padding_mask
+        from speechclip_tpu.parallel import make_mesh
+
+        cfg = hubert.HubertConfig(
+            encoder_layers=1,
+            encoder_embed_dim=64,
+            encoder_ffn_dim=128,
+            encoder_heads=8,
+            dropout=0.0,
+            attention_dropout=0.0,
+            activation_dropout=0.0,
+        )
+        layer = hubert.hubert_init(jax.random.key(0), cfg)["encoder"]["layers"][0]
+        rng_np = np.random.default_rng(21)
+        x = jnp.asarray(
+            rng_np.standard_normal((8, 130, 64)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        proj = jnp.asarray(rng_np.standard_normal(64).astype(np.float32))
+        lens = jnp.asarray(
+            rng_np.integers(64, 131, 8).astype(np.int32)
+        )
+        kpm = key_padding_mask(lens, 130)
+
+        # the fused path must actually engage at these shapes
+        monkeypatch.setattr(attn_mod, "_on_tpu", lambda: True)
+        attn_mod.set_kernel_mesh(make_mesh(model=1))
+        try:
+            assert (
+                hubert._fused_encoder_layer(layer, cfg, x, lens) is not None
+            ), "fused path did not engage; test shapes are wrong"
+
+            def loss(xv, fused):
+                monkeypatch.setattr(
+                    attn_mod, "_on_tpu", (lambda: True) if fused else (lambda: False)
+                )
+                out = hubert.encoder_layer_apply(
+                    layer, cfg, xv, kpm, None, True, lens
+                )
+                return jnp.sum(out.astype(jnp.float32) @ proj)
+
+            o_f = loss(x, True)
+            o_x = loss(x, False)
+            np.testing.assert_allclose(float(o_f), float(o_x), rtol=3e-3)
+            g_f = jax.grad(lambda x: loss(x, True))(x)
+            g_x = jax.grad(lambda x: loss(x, False))(x)
+        finally:
+            attn_mod.set_kernel_mesh(None)
+        a = np.asarray(g_f, np.float32).ravel()
+        b = np.asarray(g_x, np.float32).ravel()
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+        ratio = float(np.linalg.norm(a) / (np.linalg.norm(b) + 1e-9))
+        # bf16 forward rounding differs between the kernel and XLA paths
+        # and is amplified through the LN/softmax backward — compare
+        # direction and magnitude, not element-wise bits
+        assert cos > 0.999 and 0.99 < ratio < 1.01, (cos, ratio)
