@@ -20,8 +20,19 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu", (
     "tests require the virtual 8-device CPU platform; got " + repr(jax.devices())
 )
+
+# Build the native ingest lib when absent so tests/test_native.py always
+# runs in a fresh checkout (a silent skip would hide regressions in the C++
+# wav/jpeg path). Build failures are loud: check=True.
+if not os.path.exists(os.path.join(_REPO, "native", "libwavio.so")):
+    import subprocess
+
+    subprocess.run(
+        ["bash", os.path.join(_REPO, "native", "build.sh")], check=True
+    )
