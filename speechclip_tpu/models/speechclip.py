@@ -52,9 +52,39 @@ def _compute_dtype(config: ConfigNode):
     return jnp.float32
 
 
+def resolve_audio_upstream(config: ConfigNode):
+    """None for the hubert family (native fairseq-contract implementation);
+    an upstream.Upstream handle when audio_encoder.type is s3prl_plus with a
+    registered non-HuBERT name (reference S3prlSpeechEncoderPlus drives any
+    s3prl hub model, speech_encoder_plus.py:110-316)."""
+    if config.audio_encoder.type != "s3prl_plus":
+        return None
+    from .upstream import resolve_upstream
+
+    overrides = config.audio_encoder.get("upstream_args")
+    return resolve_upstream(
+        config.audio_encoder.name,
+        overrides.to_dict() if overrides is not None else None,
+    )
+
+
 def resolve_tower_configs(config: ConfigNode):
-    """(HubertConfig, CLIPConfig) from the config block: named presets, or
-    custom dims via audio_encoder.custom / clip.custom."""
+    """(audio_cfg, CLIPConfig) from the config block: named presets, or
+    custom dims via audio_encoder.custom / clip.custom. audio_cfg is a
+    HubertConfig for the hubert family, or the generic upstream's config
+    (same encoder_embed_dim / num_hidden_states / downsample_rate surface)
+    for registered s3prl_plus names."""
+    upstream = resolve_audio_upstream(config)
+    if upstream is not None:
+        custom_clip = config.clip.get("custom")
+        if custom_clip is not None:
+            clip_cfg = clip_mod.CLIPConfig(
+                vision=clip_mod.CLIPVisionConfig(**custom_clip.vision.to_dict()),
+                text=clip_mod.CLIPTextConfig(**custom_clip.text.to_dict()),
+            )
+        else:
+            clip_cfg = clip_mod.NAMED_CONFIGS[config.clip.name]
+        return upstream.cfg, clip_cfg
     custom_ae = config.audio_encoder.get("custom")
     if custom_ae is not None:
         kwargs = dict(custom_ae.to_dict())
@@ -91,6 +121,8 @@ class SpeechCLIPModel:
         ae_type = cfg.audio_encoder.type
         if ae_type not in ("FairseqHubert", "s3prl_plus"):
             raise NotImplementedError(f"audio encoder type {ae_type}")
+        # generic s3prl upstream (None -> in-repo HuBERT fairseq contract)
+        self.upstream = resolve_audio_upstream(cfg)
         self.audio_cfg, self.clip_cfg = resolve_tower_configs(cfg)
         if cfg.audio_encoder.get("normalize_hiddenstates", False):
             self.hidden_norm_type = cfg.audio_encoder.get("normalize_type", "s3prl")
@@ -164,7 +196,11 @@ class SpeechCLIPModel:
                 else {}
             )
         params: Params = {
-            "audio_encoder": hubert.hubert_init(keys[0], self.audio_cfg),
+            "audio_encoder": (
+                self.upstream.init(keys[0])
+                if self.upstream is not None
+                else hubert.hubert_init(keys[0], self.audio_cfg)
+            ),
             "clip": clip_mod.clip_init(keys[1], self.clip_cfg),
             "criterion": criterion,
         }
@@ -220,6 +256,16 @@ class SpeechCLIPModel:
         log = logging.getLogger(__name__)
         params = dict(params)
         ae_path = self.config.audio_encoder.get("pretrained_path")
+        if self.upstream is not None:
+            if self.config.audio_encoder.get("pretrained", False):
+                log.warning(
+                    "pretrained weights for generic s3prl upstream %s are "
+                    "not available offline; keeping random init (the "
+                    "reference supports pretrained=False the same way, "
+                    "speech_encoder_plus.py:151-152)",
+                    self.upstream.name,
+                )
+            ae_path = None
         if self.config.audio_encoder.get("pretrained", False) and ae_path:
             if os.path.exists(ae_path):
                 from ..convert.from_torch import load_hubert_checkpoint
@@ -231,6 +277,12 @@ class SpeechCLIPModel:
             else:
                 log.warning("HuBERT checkpoint %s not found; random init", ae_path)
         reinit = list(self.config.audio_encoder.get("reinit_layers", []) or [])
+        if reinit and self.upstream is not None:
+            raise NotImplementedError(
+                "reinit_layers is a hubert-family feature (the reference "
+                "gates it on name.startswith('hubert') too, "
+                "speech_encoder_plus.py:157-183)"
+            )
         if reinit:
             # re-randomize the selected encoder layers (reference
             # speech_encoder_plus.py:417-424)
@@ -276,14 +328,20 @@ class SpeechCLIPModel:
         FairseqSpeechEncoder_Hubert.forward :520-634)"""
         train_encoder = train and self.config.audio_encoder.get("trainable", False)
         wav = wav.astype(self.compute_dtype)
-        hidden_states, feat_len = hubert.hubert_apply(
-            params["audio_encoder"],
-            self.audio_cfg,
-            wav,
-            wav_len,
-            rng=rng,
-            train=train_encoder,
-        )
+        if self.upstream is not None:
+            hidden_states, feat_len = self.upstream.apply(
+                params["audio_encoder"], wav, wav_len,
+                rng=rng, train=train_encoder,
+            )
+        else:
+            hidden_states, feat_len = hubert.hubert_apply(
+                params["audio_encoder"],
+                self.audio_cfg,
+                wav,
+                wav_len,
+                rng=rng,
+                train=train_encoder,
+            )
         if not self.config.audio_encoder.get("trainable", False):
             hidden_states = jax.tree.map(jax.lax.stop_gradient, hidden_states)
         if self.hidden_norm_type in ("method1", "method2"):
@@ -300,6 +358,10 @@ class SpeechCLIPModel:
             )
         elif select == "last_hidden_state":
             feat = hidden_states[-1]
+        elif select in ("hidden_states", "all"):
+            # reference named-key selection (speech_encoder_plus.py:296-306):
+            # the full per-layer state tuple
+            feat = hidden_states
         elif isinstance(select, (list, tuple)):
             feat = [hidden_states[i] for i in select]
         else:
@@ -677,6 +739,11 @@ class SpeechCLIPModel:
             if key == "audio_encoder":
                 trainable = bool(cfg.audio_encoder.get("trainable", False))
                 selected = reinit_layers or unfreeze_layers
+                if selected and self.upstream is not None:
+                    raise NotImplementedError(
+                        "reinit/unfreeze_layers are hubert-family features "
+                        "(reference speech_encoder_plus.py:157-198)"
+                    )
                 if trainable and selected:
                     # partial fine-tune: only the selected encoder layers
                     # (plus the top LayerNorm for post-norm models when

@@ -1,0 +1,142 @@
+"""Generic s3prl-style upstream registry (models/upstream.py): the
+S3prlSpeechEncoderPlus contract (reference
+avssl/module/speech_encoder_plus.py:110-316) — downsample-160 default,
+named-state selection, non-HuBERT upstream (apc, the model family the
+reference's own tests parametrize). torch is the CPU oracle for the GRU."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from speechclip_tpu.models.upstream import (
+    APCConfig,
+    apc_apply,
+    apc_init,
+    gru_layer_apply,
+    gru_layer_init,
+    log_mel,
+    resolve_upstream,
+)
+
+
+class TestLogMel:
+    def test_shapes_and_finiteness(self):
+        wav = jnp.asarray(
+            np.random.default_rng(0).standard_normal((3, 3200)).astype(np.float32)
+        )
+        mel = log_mel(wav, n_mels=24)
+        assert mel.shape == (3, 20, 24)  # 3200 // 160 frames
+        assert bool(jnp.isfinite(mel).all())
+
+    def test_distinguishes_tones(self):
+        t = np.arange(3200) / 16000.0
+        low = np.sin(2 * np.pi * 200 * t).astype(np.float32)
+        high = np.sin(2 * np.pi * 4000 * t).astype(np.float32)
+        mel = np.asarray(log_mel(jnp.asarray(np.stack([low, high])), n_mels=40))
+        # energy centroid (over mel bins) must be higher for the high tone
+        w = np.exp(mel)
+        centroid = (w * np.arange(40)).sum(-1) / w.sum(-1)
+        assert centroid[1].mean() > centroid[0].mean() + 5
+
+
+class TestGRUvsTorch:
+    @pytest.mark.parametrize("in_dim,hidden", [(12, 16), (16, 16)])
+    def test_matches_torch_gru(self, in_dim, hidden):
+        torch.manual_seed(0)
+        ref = torch.nn.GRU(in_dim, hidden, num_layers=1, batch_first=True)
+        params = {
+            "w_ih": jnp.asarray(ref.weight_ih_l0.detach().numpy().T),
+            "w_hh": jnp.asarray(ref.weight_hh_l0.detach().numpy().T),
+            "b_ih": jnp.asarray(ref.bias_ih_l0.detach().numpy()),
+            "b_hh": jnp.asarray(ref.bias_hh_l0.detach().numpy()),
+        }
+        x = np.random.default_rng(1).standard_normal((2, 9, in_dim)).astype(
+            np.float32
+        )
+        with torch.no_grad():
+            want, _ = ref(torch.from_numpy(x))
+        got = gru_layer_apply(params, jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(got), want.numpy(), rtol=1e-5, atol=1e-5
+        )
+
+    def test_init_shapes(self):
+        p = gru_layer_init(jax.random.key(0), 8, 16)
+        assert p["w_ih"].shape == (8, 48)
+        assert p["w_hh"].shape == (16, 48)
+
+
+class TestAPCUpstream:
+    def test_apply_contract(self):
+        cfg = APCConfig(n_mels=16, encoder_embed_dim=24, num_layers=2)
+        params = apc_init(jax.random.key(0), cfg)
+        wav = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 3200)).astype(np.float32)
+        )
+        states, feat_len = apc_apply(
+            params, cfg, wav, jnp.asarray([3200, 1600])
+        )
+        assert len(states) == cfg.num_hidden_states == 2
+        assert all(s.shape == (2, 20, 24) for s in states)
+        # reference length formula round(len/160) clamped (:286-290)
+        np.testing.assert_array_equal(np.asarray(feat_len), [20, 10])
+
+    def test_registry(self):
+        assert resolve_upstream("hubert") is None
+        assert resolve_upstream("hubert_large_ll60k") is None
+        up = resolve_upstream("apc", {"encoder_embed_dim": 32})
+        assert up.cfg.downsample_rate == 160
+        assert up.cfg.encoder_embed_dim == 32
+        with pytest.raises(NotImplementedError):
+            resolve_upstream("wav2vec2_xlsr")
+
+
+class TestModelWithGenericUpstream:
+    @pytest.fixture
+    def model(self, tmp_path):
+        from speechclip_tpu.models.speechclip import SpeechCLIPModel
+        from tests.test_models import tiny_speechclip_config
+
+        cfg = tiny_speechclip_config(tmp_path)
+        cfg.audio_encoder.type = "s3prl_plus"
+        cfg.audio_encoder.name = "apc"
+        del cfg.audio_encoder["custom"]
+        cfg.audio_encoder.upstream_args = {
+            "n_mels": 16,
+            "encoder_embed_dim": 32,
+            "num_layers": 2,
+        }
+        return SpeechCLIPModel(cfg)
+
+    def test_end_to_end_forward_and_loss(self, model):
+        assert model.upstream is not None
+        assert model.audio_cfg.downsample_rate == 160
+        params, state = model.init(jax.random.key(0))
+        rng = np.random.default_rng(7)
+        batch = {
+            "wav": jnp.asarray(rng.standard_normal((4, 2000)).astype(np.float32)),
+            "wav_len": jnp.asarray(np.array([2000, 1500, 1000, 2000])),
+            "image": jnp.asarray(
+                rng.standard_normal((4, 32, 32, 3)).astype(np.float32)
+            ),
+            "id": jnp.asarray(np.array([0, 0, 1, 2])),
+        }
+        loss_feats, log_metrics, _, _ = model.forward(params, state, batch)
+        losses = model.compute_loss(params, loss_feats)
+        assert np.isfinite(float(losses["loss"]))
+        assert loss_feats["parallel_audio_feat"].shape == (4, 16)
+
+        # frozen upstream, trainable branches
+        mask = model.trainable_mask(params)
+        assert not any(jax.tree.leaves(mask["audio_encoder"]))
+        assert all(jax.tree.leaves(mask["parallel_branch"]))
+
+    def test_selected_layer_finetune_rejected(self, model):
+        model.config.audio_encoder.trainable = True
+        model.config.audio_encoder.unfreeze_layers = [1]
+        params, _ = model.init(jax.random.key(0))
+        with pytest.raises(NotImplementedError):
+            model.trainable_mask(params)
