@@ -47,7 +47,11 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _group_size(bh: int, l: int, s: int, d: int, itemsize: int) -> int:
-    per_pair = 4 * l * d * itemsize * 2  # q,k,v,out, double buffered
+    # q/out are (l, d); k is (s, d); v carries the extra ones lane (s, d+1).
+    # Sizing by true shapes matters for cross-attention (s != l): using l
+    # for all four underestimates the envelope when s > l and a shape
+    # deemed "eligible" could exceed VMEM at Mosaic compile time.
+    per_pair = (2 * l * d + s * d + s * (d + 1)) * itemsize * 2  # dbl-buffered
     score = l * s * (4 + 2)  # f32 scores + bf16 weights (per-g temporaries)
     best = 1
     for g in (16, 12, 8, 6, 4, 3, 2):

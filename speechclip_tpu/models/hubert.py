@@ -327,7 +327,10 @@ def encoder_layer_apply(
         and cfg.attention_dropout == 0.0
         and cfg.activation_dropout == 0.0
     )
-    if (not train or no_dropout) and frame_lens is not None:
+    # eligible masking: per-batch valid lengths, or no mask at all (both
+    # kernels support lens=None); only an unstructured kpm without lens
+    # forces the unfused path
+    if (not train or no_dropout) and (frame_lens is not None or kpm is None):
         fused = _fused_encoder_layer(params, cfg, x, frame_lens)
         if fused is not None:
             return fused

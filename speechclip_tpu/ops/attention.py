@@ -166,14 +166,10 @@ def _structured_masks(attn_mask, key_padding_mask, key_valid_lens) -> bool:
     return True
 
 
-def _flash_eligible(attn_mask, key_padding_mask, key_valid_lens, causal) -> bool:
-    if _ATTENTION_BACKEND != "pallas":
-        return False
-    if attn_mask is not None and not causal:
-        return False  # arbitrary additive masks stay on the XLA path
-    if key_padding_mask is not None and key_valid_lens is None:
-        return False  # unstructured padding mask
-    return _on_tpu()
+def _flash_eligible() -> bool:
+    # mask structure is already enforced by the caller's kernel_ok gate
+    # (_structured_masks): only length/causal masking reaches this point
+    return _ATTENTION_BACKEND == "pallas" and _on_tpu()
 
 
 def padding_bias(
@@ -352,9 +348,7 @@ def multi_head_attention(
             out = attention_vmem_sharded(q, k, v, key_valid_lens, causal, plan)
             out = _merge_heads(out)
             return linear(params["out_proj"], out), None
-    if kernel_ok and _flash_eligible(
-        attn_mask, key_padding_mask, key_valid_lens, causal
-    ):
+    if kernel_ok and _flash_eligible():
         from ..kernels.flash_attention import flash_attention
 
         out = flash_attention(q, k, v, key_valid_lens, causal)
