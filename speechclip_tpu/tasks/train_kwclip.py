@@ -132,8 +132,11 @@ class TrainKWClip_GeneralTransformer(BaseTask):
                 state = trainer.prepare_restore_target(ckpt_path, state)
                 state = trainer.ckpt.restore(ckpt_path, state)
             state = place_state(state, trainer.mesh)
-            metrics = trainer.validate(state)
-            logger.info("validation metrics: %s", metrics)
+            # --test evaluates the test split, --eval the dev/val split
+            # (reference avssl/task/base_task.py:108-110, 236-245)
+            split = "test" if args.test else "dev"
+            metrics = trainer.validate(state, split=split)
+            logger.info("validation metrics (%s): %s", split, metrics)
             return metrics
         else:
             raise ValueError("specify one of --train / --eval / --test")

@@ -47,11 +47,24 @@ def create_train_state(
     )
 
 
-def make_train_step(model: SpeechCLIPModel, tx: optax.GradientTransformation):
-    """-> train_step(state, batch) -> (state, metrics). Pure; jit outside."""
+def make_train_step(
+    model: SpeechCLIPModel,
+    tx: optax.GradientTransformation,
+    accumulate_grad_batches: int = 1,
+):
+    """-> train_step(state, batch) -> (state, metrics). Pure; jit outside.
+
+    ``accumulate_grad_batches``: with optax.MultiSteps the optimizer (and
+    its schedule) advance once per k micro-batches, but ``state.step``
+    increments per micro-batch — so schedule-consuming model hooks (the
+    VQ's scheduled temperature, reference my_vector_quantizer.py:28-51)
+    must see ``step // k``, or a scheduled temp would decay k-x too fast.
+    """
+    accum = max(int(accumulate_grad_batches), 1)
 
     def train_step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
         rng, step_rng = jax.random.split(state.rng)
+        num_updates = state.step // accum if accum > 1 else state.step
 
         def loss_fn(params):
             loss_feats, log_metrics, _, new_model_state = model.forward(
@@ -60,7 +73,7 @@ def make_train_step(model: SpeechCLIPModel, tx: optax.GradientTransformation):
                 batch,
                 rng=step_rng,
                 train=True,
-                num_updates=state.step,
+                num_updates=num_updates,
             )
             losses = model.compute_loss(params, loss_feats)
             return losses["loss"], (losses, log_metrics, new_model_state)

@@ -84,12 +84,11 @@ class Trainer:
         self.mesh = make_mesh(devices=devices, model=model_axis)
         self.n_data = self.mesh.shape["data"]
 
-        # register the mesh so the "auto" attention backend can dispatch the
-        # Pallas kernel per data shard on multi-chip runs (shard_map; GSPMD
-        # cannot partition a pallas_call itself)
-        from ..ops.attention import set_kernel_mesh
-
-        set_kernel_mesh(self.mesh)
+        # the mesh is registered for Pallas kernel dispatch (shard_map; GSPMD
+        # cannot partition a pallas_call itself) only while fit/validate run
+        # — see _kernel_mesh_scope. A process-global registration here would
+        # leak across trainer instances with different meshes (two trainers
+        # in one process, or jitted code running after teardown).
 
         # derive the trainable mask from abstract shapes only — no need to
         # materialize a full random model here
@@ -114,21 +113,60 @@ class Trainer:
             project=config.get_path("logger.project"),
             run_name=os.path.basename(self.workdir),
         )
+        self._accum = int(
+            config.get_path("trainer.accumulate_grad_batches", 1) or 1
+        )
         self._train_step = jit_train_step(
-            make_train_step(self.model, self.tx), donate=True
+            make_train_step(self.model, self.tx, self._accum), donate=True
         )
         self._eval_step = jax.jit(make_eval_step(self.model))
 
     # ------------------------------------------------------------------ data
+    def eval_split_name(self, split: str) -> str:
+        """Map the logical eval split to the dataset's split name.
+
+        "dev" -> Flickr8k "dev" / SpokenCOCO "val" (the validation split);
+        "test" -> "test" for both. Mirrors the reference, which builds a
+        dev set for --eval and a test set for --test
+        (avssl/task/base_task.py:86-110, 236-245).
+        """
+        if split in ("dev", "val"):
+            name = self.config.data.dataset.name
+            return "dev" if name == "flickr" else "val"
+        if split == "test":
+            return "test"
+        raise ValueError(f"unknown eval split {split!r} (use 'dev' or 'test')")
+
+    def build_eval_loader(self, split: str = "dev") -> BucketedLoader:
+        data_cfg = self.config.data
+        ds = build_dataset(
+            data_cfg,
+            self.eval_split_name(split),
+            self.tokenizer,
+            image_size=self.model.clip_cfg.vision.image_size,
+        )
+        # data.eval_batch_size: hardware-throughput override for the eval
+        # loop (a 5k dev set at the reference's dev_batch_size=8 is ~600
+        # dispatches of a tiny batch). Defaults to dev_batch_size because
+        # the contrastive val_loss is a per-batch quantity: its magnitude
+        # (log-denominator over batch-1 negatives) changes with batch size,
+        # and matching the reference's logged val_loss requires its batch.
+        # Retrieval recall is batch-independent either way.
+        batch_size = int(
+            data_cfg.get("eval_batch_size", data_cfg.get("dev_batch_size", 8))
+        )
+        return BucketedLoader(
+            ds,
+            batch_size=batch_size,
+            train=False,
+            seed=self.seed,
+        )
+
     def build_loaders(self):
         data_cfg = self.config.data
         image_size = self.model.clip_cfg.vision.image_size
         train_ds = build_dataset(
             data_cfg, "train", self.tokenizer, image_size=image_size
-        )
-        dev_split = "dev" if data_cfg.dataset.name == "flickr" else "val"
-        dev_ds = build_dataset(
-            data_cfg, dev_split, self.tokenizer, image_size=image_size
         )
         max_audio_len = int(
             self.config.get_path("audio_encoder.max_audio_len", 102400)
@@ -140,13 +178,7 @@ class Trainer:
             max_audio_len=max_audio_len,
             seed=self.seed,
         )
-        dev_loader = BucketedLoader(
-            dev_ds,
-            batch_size=int(data_cfg.get("dev_batch_size", 8)),
-            train=False,
-            seed=self.seed,
-        )
-        return train_loader, dev_loader
+        return train_loader, self.build_eval_loader("dev")
 
     def prepare_restore_target(self, ckpt_path: str, state: TrainState) -> TrainState:
         """Slim checkpoints exclude frozen towers: populate them from the
@@ -166,8 +198,25 @@ class Trainer:
             state, params=self.model.load_pretrained(state.params)
         )
 
+    def _kernel_mesh_scope(self):
+        """Register self.mesh for sharded Pallas dispatch for the duration of
+        an entry point (trace time is what matters: jit specializations bake
+        the dispatch in when first called)."""
+        from ..ops.attention import kernel_mesh
+
+        return kernel_mesh(self.mesh)
+
     # ------------------------------------------------------------------- fit
     def fit(
+        self,
+        resume: Optional[str] = None,
+        initial_params=None,
+        initial_model_state=None,
+    ) -> TrainState:
+        with self._kernel_mesh_scope():
+            return self._fit(resume, initial_params, initial_model_state)
+
+    def _fit(
         self,
         resume: Optional[str] = None,
         initial_params=None,
@@ -250,7 +299,9 @@ class Trainer:
                     }
                     now = time.perf_counter()
                     host_metrics["steps_per_sec"] = log_every / (now - t_last)
-                    host_metrics["lr"] = float(self.schedule(step))
+                    # schedule state advances once per optimizer emit, not
+                    # per micro-batch (optax.MultiSteps)
+                    host_metrics["lr"] = float(self.schedule(step // self._accum))
                     t_last = now
                     self.metrics_logger.log(host_metrics, step)
                 if step >= max_steps:
@@ -276,9 +327,20 @@ class Trainer:
         state: TrainState,
         loader: Optional[BucketedLoader] = None,
         epoch: int = 0,
+        split: str = "dev",
+    ) -> Dict[str, float]:
+        with self._kernel_mesh_scope():
+            return self._validate(state, loader, epoch, split)
+
+    def _validate(
+        self,
+        state: TrainState,
+        loader: Optional[BucketedLoader] = None,
+        epoch: int = 0,
+        split: str = "dev",
     ) -> Dict[str, float]:
         if loader is None:
-            _, loader = self.build_loaders()
+            loader = self.build_eval_loader(split)
         batch_size = loader.batch_size
         outputs: List[Dict] = []
         agg: Dict[str, List[float]] = {}
@@ -316,6 +378,11 @@ class Trainer:
         if not agg and ragged_metrics:
             # tiny dev sets can be all-ragged; better a padded-batch metric
             # than none (retrieval metrics below are unaffected either way)
+            logger.warning(
+                "every eval batch was ragged: loss metrics come from a "
+                "padded batch and include dummy-row contamination (features "
+                "and retrieval metrics are trimmed and unaffected)"
+            )
             for k, v in ragged_metrics.items():
                 agg.setdefault(k, []).append(v)
         collected = collect_validation_outputs(outputs)

@@ -22,7 +22,7 @@ def cli_setup(tmp_path_factory):
     (root / "flickr_audio" / "wavs").mkdir(parents=True)
     (root / "Images").mkdir()
     captions = []
-    for i in range(8):
+    for i in range(11):
         name = f"cl{i:03d}"
         write_jpg(root / "Images" / f"{name}.jpg", size=48, seed=i)
         write_wav(
@@ -35,6 +35,11 @@ def cli_setup(tmp_path_factory):
     )
     (root / "Flickr_8k.devImages.txt").write_text(
         "\n".join(f"cl{i:03d}.jpg" for i in range(6, 8))
+    )
+    # deliberately a different size (3) than dev (2) so the --test run is
+    # distinguishable from a dev-split evaluation in the logs
+    (root / "Flickr_8k.testImages.txt").write_text(
+        "\n".join(f"cl{i:03d}.jpg" for i in range(8, 11))
     )
 
     cfg = tiny_speechclip_config(tmp_path_factory.mktemp("cli_vocab"))
@@ -125,7 +130,10 @@ class TestCLI:
             "cpu",
         )
         assert result.returncode == 0, result.stderr[-3000:]
-        assert "validation metrics" in result.stderr or "recall" in result.stderr
+        # --test must evaluate the *test* split (3 samples), not dev (2):
+        # reference avssl/task/base_task.py:108-110,236-245
+        assert "validation metrics (test)" in result.stderr, result.stderr[-3000:]
+        assert "Flickr8k (test): 3 samples" in result.stderr, result.stderr[-3000:]
 
         # embedding-extraction example against the same checkpoint
         env = dict(os.environ)

@@ -157,6 +157,39 @@ def test_gradient_accumulation(setup):
     assert np.abs(w2 - w1).sum() > 0  # update applied on the second
 
 
+def test_scheduled_vq_temp_follows_optimizer_updates(setup):
+    """With accumulate_grad_batches=k the optimizer advances once per k
+    micro-batches (optax.MultiSteps) — the VQ's scheduled temperature must
+    decay on that cadence, not per micro-batch (else it decays k-x too
+    fast; VERDICT r1 weak #7). Reference temp decay:
+    my_vector_quantizer.py:28-51 set_num_updates."""
+    cfg, _ = setup
+    import copy
+
+    from speechclip_tpu.config import ConfigNode
+
+    max_t, min_t, decay = 2.0, 0.01, 0.5
+    accum = 2
+    cfg2 = ConfigNode(copy.deepcopy(cfg.to_dict()))
+    cfg2.trainer.accumulate_grad_batches = accum
+    cfg2.model_settings.cascaded_branch.vq.args.temp = f"({max_t},{min_t},{decay})"
+    model = SpeechCLIPModel(cfg2)
+    params, _ = model.init(jax.random.key(0))
+    tx, _ = build_optimizer(cfg2, model.trainable_mask(params))
+    state = create_train_state(model, tx, jax.random.key(0))
+    step = jit_train_step(
+        make_train_step(model, tx, accumulate_grad_batches=accum), donate=False
+    )
+    batch = make_batch()
+    temps = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        temps.append(float(metrics["train_softmax_temp"]))
+    # micro-steps 0,1 -> update 0; micro-steps 2,3 -> update 1
+    want = [max_t * decay ** (i // accum) for i in range(4)]
+    np.testing.assert_allclose(temps, want, rtol=1e-6)
+
+
 def test_device_prefetch_preserves_batches():
     """device_prefetch must yield every batch, in order, with identical
     values and the data-axis sharding applied."""

@@ -31,7 +31,7 @@ def corpus(tmp_path_factory):
     root = tmp_path_factory.mktemp("corpus")
     (root / "flickr_audio" / "wavs").mkdir(parents=True)
     (root / "Images").mkdir()
-    images = [f"im{i:03d}" for i in range(8)]
+    images = [f"im{i:03d}" for i in range(11)]
     captions = []
     for i, name in enumerate(images):
         write_jpg(root / "Images" / f"{name}.jpg", size=48, seed=i)
@@ -47,7 +47,12 @@ def corpus(tmp_path_factory):
         "\n".join(f"{n}.jpg" for n in images[:6])
     )
     (root / "Flickr_8k.devImages.txt").write_text(
-        "\n".join(f"{n}.jpg" for n in images[6:])
+        "\n".join(f"{n}.jpg" for n in images[6:8])
+    )
+    # test split deliberately a different size than dev so split selection
+    # is observable from sample counts
+    (root / "Flickr_8k.testImages.txt").write_text(
+        "\n".join(f"{n}.jpg" for n in images[8:])
     )
     return root
 
@@ -123,6 +128,43 @@ class TestTokenizer:
     def test_decode_specials_pass_through(self, tokenizer):
         text = tokenizer.decode([tokenizer.sot_id, tokenizer.eot_id])
         assert text == "<|startoftext|><|endoftext|>"
+
+
+class TestEvalSplitSelection:
+    """--test must evaluate the test split, --eval the dev/val split
+    (reference avssl/task/base_task.py:108-110, 236-245)."""
+
+    def test_split_name_mapping(self, trainer_config, tokenizer):
+        trainer = Trainer(trainer_config, tokenizer=tokenizer)
+        assert trainer.eval_split_name("dev") == "dev"
+        assert trainer.eval_split_name("test") == "test"
+        with pytest.raises(ValueError):
+            trainer.eval_split_name("train")
+        # SpokenCOCO names its validation split "val"
+        trainer.config.data.dataset.name = "coco"
+        assert trainer.eval_split_name("dev") == "val"
+        assert trainer.eval_split_name("test") == "test"
+        trainer.config.data.dataset.name = "flickr"
+
+    def test_build_eval_loader_uses_requested_split(
+        self, trainer_config, tokenizer
+    ):
+        trainer = Trainer(trainer_config, tokenizer=tokenizer)
+        dev = trainer.build_eval_loader("dev")
+        test = trainer.build_eval_loader("test")
+        # corpus: 2 dev images x 2 captions, 3 test images x 2 captions
+        assert len(dev.dataset) == 4
+        assert len(test.dataset) == 6
+
+    def test_eval_batch_size_override(self, trainer_config, tokenizer):
+        """data.eval_batch_size overrides dev_batch_size for eval loaders
+        (hardware-throughput knob; val_loss parity needs dev_batch_size,
+        see Trainer.build_eval_loader)."""
+        trainer = Trainer(trainer_config, tokenizer=tokenizer)
+        assert trainer.build_eval_loader("dev").batch_size == 8
+        trainer.config.data.eval_batch_size = 4
+        assert trainer.build_eval_loader("dev").batch_size == 4
+        del trainer.config.data["eval_batch_size"]
 
 
 class TestTrainerEndToEnd:
