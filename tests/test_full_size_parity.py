@@ -141,3 +141,158 @@ class TestFullSizeCLIP:
             params, clip_mod.CLIP_VIT_B32, kw_emb, 49406, 49407
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+class TestFullSizeEndToEnd:
+    """End-to-end anchor at production dims while the released checkpoints
+    are unreachable (zero-egress environment; the download attempt is logged
+    in docs/DESIGN_NOTES.md): a synthetic reference Lightning checkpoint at
+    FULL size (fairseq hubert-base naming, OpenAI ViT-B/32 naming, reduced
+    vocab with the shipped pad/SOT/EOT byfreq row layout) through the whole
+    chain — conversion -> SpeechCLIPModel encode_speech / forward_image ->
+    retrieval recall — not just per-branch forwards.
+
+    Reference chain: download_ckpts.sh:7-9, example.py:10-40,
+    kwClip.py:468-502."""
+
+    REDUCED_V = 8112  # shipped Flickr table size (SURVEY.md §2.4)
+
+    def _full_config(self, tmp_path):
+        from __graft_entry__ import _flagship_config
+
+        # synthetic byfreq table with the shipped layout: rows 0/2/3 are
+        # pad/SOT/EOT (reference flickr_stat tables; VQ prob_msk semantics)
+        rng = np.random.default_rng(5)
+        others = rng.choice(
+            np.arange(1, 49406), size=self.REDUCED_V - 3, replace=False
+        )
+        ids = np.concatenate([[0, others[0], 49406, 49407], others[1:]])
+        freq = np.arange(len(ids), 0, -1)
+        npy = tmp_path / "vocab_byfreq.npy"
+        np.save(npy, np.stack([ids, freq], axis=1).astype(np.int64))
+
+        cfg = _flagship_config()
+        cfg.clip.reduce_subword_embbedding = str(npy)
+        cfg.trainer.precision = 32
+        return cfg
+
+    def test_convert_encode_retrieve(self, tmp_path):
+        from speechclip_tpu.convert.reference_ckpt import (
+            convert_reference_checkpoint,
+        )
+        from speechclip_tpu.models.speechclip import SpeechCLIPModel
+        from speechclip_tpu.training.evaluation import (
+            collect_validation_outputs,
+            retrieval_metrics,
+        )
+        from tests import torch_ref
+        from tests.test_reference_ckpt import (
+            fairseq_hubert_state_dict,
+            openai_clip_state_dict,
+        )
+
+        torch.manual_seed(0)
+        cfg = self._full_config(tmp_path)
+        d, out_dim, kw = 768, 512, 8
+
+        sd = {}
+        for k, v in fairseq_hubert_state_dict(
+            np.random.default_rng(0), hubert_mod.HUBERT_BASE
+        ).items():
+            # temper the conv stack: random std-1 kernels through 7 unnormed
+            # convs produce huge (finite) activations that saturate softmax
+            sd[f"audio_encoder.encoder.{k}"] = (
+                v * 0.1 if k.startswith("feature_extractor") else v
+            )
+        sd["audio_encoder.weightedsum_layer.weights"] = torch.randn(13)
+        for k, v in openai_clip_state_dict(
+            clip_mod.CLIP_VIT_B32, reduced_vocab_size=self.REDUCED_V
+        ).items():
+            sd[f"clip.model.{k}"] = v
+
+        p_enc = torch_ref.make_torch_encoder(
+            n_layers=1, d_model=d, nhead=8, dim_feedforward=3072
+        )
+        p_lin = torch.nn.Linear(d, out_dim)
+        sd["parallel_branch.cls"] = torch.randn(1, 1, d)
+        for k, v in p_enc.state_dict().items():
+            sd[f"parallel_branch.self_att.model.{k}"] = v
+        for k, v in p_lin.state_dict().items():
+            sd[f"parallel_branch.linear_proj.{k}"] = v
+
+        c_mha, c_norm = torch_ref.make_torch_mha_and_norm(d_model=d, nhead=1)
+        c_lin = torch.nn.Linear(d, out_dim)
+        c_bn = torch.nn.BatchNorm1d(out_dim * kw)
+        c_bn.running_mean.normal_()
+        c_bn.running_var.uniform_(0.5, 2.0)
+        sd["cascaded_branch.cls"] = torch.randn(1, kw, d)
+        for k, v in c_mha.state_dict().items():
+            sd[f"cascaded_branch.self_att.multihead_attn_layer.{k}"] = v
+        for k, v in c_norm.state_dict().items():
+            sd[f"cascaded_branch.self_att.attentionBlock_Norm.{k}"] = v
+        for k, v in c_lin.state_dict().items():
+            sd[f"cascaded_branch.linear_proj.{k}"] = v
+        for k, v in c_bn.state_dict().items():
+            sd[f"cascaded_branch.bn_layer.bn_layer.{k}"] = v
+        sd["cascaded_branch.vector_quantizer.curr_temp"] = torch.tensor([0.1])
+
+        ckpt = {"state_dict": sd, "hyper_parameters": {"config": cfg.to_dict()}}
+        params, state, _ = convert_reference_checkpoint(ckpt, cfg)
+        model = SpeechCLIPModel(cfg)
+
+        # production-dim invariants of the converted tree
+        assert params["clip"]["text"]["token_embedding"].shape == (
+            self.REDUCED_V,
+            512,
+        )
+        assert params["audio_encoder"]["encoder"]["layers"][11]["fc1"]["w"].shape == (
+            768,
+            3072,
+        )
+        assert model.sot_id == 2 and model.eot_id == 3  # shipped row layout
+
+        # encode 6 utterances (2 s) and 3 images; ids pair 2 wavs per image
+        rng = np.random.default_rng(1)
+        wav = jnp.asarray(rng.standard_normal((6, 32000)).astype(np.float32))
+        wav_len = jnp.asarray(np.array([32000, 28000, 24000, 32000, 20000, 16000]))
+        images = jnp.asarray(
+            rng.standard_normal((3, 224, 224, 3)).astype(np.float32)
+        )
+        ids = np.array([0, 0, 1, 1, 2, 2])
+
+        out = model.encode_speech(params, state, wav, wav_len)
+        img_feat = model.forward_image(params, images)
+        assert out["parallel_audio_feat"].shape == (6, 512)
+        assert out["cascaded_audio_feat"].shape == (6, 512)
+        assert out["keywords"].shape == (6, kw, 512)
+        assert img_feat.shape == (3, 512)
+        for v in (out["parallel_audio_feat"], out["cascaded_audio_feat"], img_feat):
+            assert bool(jnp.isfinite(v).all())
+        # VQ diagnostics ride along (reference vq_results contract)
+        assert {"code_perplexity", "prob_perplexity", "temp"} <= set(
+            out["vq_results"]
+        )
+
+        # retrieval epoch logic on the encoded features
+        img_per_wav = np.asarray(img_feat)[ids]  # image of each wav's pair id
+        outputs = [
+            {
+                "id": ids,
+                "audio_feat": np.asarray(out["parallel_audio_feat"]),
+                "image_feat": img_per_wav,
+            }
+        ]
+        collected = collect_validation_outputs(outputs)
+        r_ab, r_ba, r_mean = retrieval_metrics(collected, [1, 5])
+        for rec in (r_ab, r_ba, r_mean):
+            assert set(rec) == {"recall@1", "recall@5"}
+            assert all(0.0 <= v <= 100.0 for v in rec.values())
+        # 3 gallery images -> recall@5 saturates
+        assert r_mean["recall@5"] == 100.0
+
+        # determinism of the full encode chain
+        out2 = model.encode_speech(params, state, wav, wav_len)
+        np.testing.assert_array_equal(
+            np.asarray(out["parallel_audio_feat"]),
+            np.asarray(out2["parallel_audio_feat"]),
+        )
