@@ -8,10 +8,14 @@ lower-cased, byte-level BPE over the classic
 ``<|startoftext|>`` / ``<|endoftext|>``.
 
 The merges file is an external asset (same file OpenAI CLIP ships); pass its
-path, or point the SPEECHCLIP_BPE_PATH env var at it. Deviation: the
-reference pipeline runs ftfy mojibake fixing before cleaning; ftfy is not a
-dependency here, so cleaning is html-unescape + whitespace normalization
-(identical output on well-formed text).
+path, or point the SPEECHCLIP_BPE_PATH env var at it. Text cleaning matches
+the reference pipeline (ftfy.fix_text -> double html-unescape -> whitespace
+normalization, clip/simple_tokenizer.py semantics): ftfy itself is not a
+dependency, so ``_fix_mojibake`` implements its core repair — iterative
+cp1252/latin-1 -> UTF-8 re-decoding plus NFC normalization — which covers
+the mojibake classes that occur in caption corpora ("Ã©" -> "é",
+"â€™" -> "’", double-encoded UTF-8); exotic encodings ftfy also handles
+(UTF-16 shifts, lossy replacements) stay as-is.
 """
 
 from __future__ import annotations
@@ -53,7 +57,34 @@ def bytes_to_unicode() -> dict:
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
+def _fix_mojibake(text: str) -> str:
+    """ftfy's core repair, dependency-free: text that was UTF-8 but got
+    decoded as cp1252/latin-1 re-encodes byte-identically and decodes as
+    valid UTF-8 — genuine text essentially never does (multi-byte UTF-8
+    lead/continuation patterns are vanishingly rare in real cp1252 prose).
+    Two passes heal double-encoded UTF-8. NFC-normalize like ftfy does."""
+    import unicodedata
+
+    for _ in range(2):
+        try:
+            raw = text.encode("cp1252")
+        except UnicodeEncodeError:
+            try:
+                raw = text.encode("latin-1")
+            except UnicodeEncodeError:
+                break
+        try:
+            fixed = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        if fixed == text:
+            break
+        text = fixed
+    return unicodedata.normalize("NFC", text)
+
+
 def _clean(text: str) -> str:
+    text = _fix_mojibake(text)
     text = html.unescape(html.unescape(text))
     text = re.sub(r"\s+", " ", text)
     return text.strip()

@@ -129,6 +129,23 @@ class TestTokenizer:
         text = tokenizer.decode([tokenizer.sot_id, tokenizer.eot_id])
         assert text == "<|startoftext|><|endoftext|>"
 
+    def test_mojibake_repair(self):
+        """Reference tokenization runs ftfy before cleaning
+        (clip/simple_tokenizer.py); _fix_mojibake covers its core repair."""
+        from speechclip_tpu.models.tokenizer import _clean, _fix_mojibake
+
+        assert _fix_mojibake("cafÃ©") == "café"
+        assert _fix_mojibake("donâ€™t") == "don’t"
+        # double-encoded UTF-8 heals in two passes
+        double = "é".encode("utf-8").decode("cp1252").encode("utf-8").decode("cp1252")
+        assert _fix_mojibake(double) == "é"
+        # well-formed text (ASCII and real accents) passes through
+        assert _fix_mojibake("a dog runs.") == "a dog runs."
+        assert _fix_mojibake("café") == "café"
+        # NFC normalization (combining accent -> composed form), as in ftfy
+        assert _fix_mojibake("café") == "café"
+        assert _clean("  a&amp;amp;b   c ") == "a&b c"
+
 
 class TestEvalSplitSelection:
     """--test must evaluate the test split, --eval the dev/val split
