@@ -65,8 +65,22 @@ def make_train_step(
     def train_step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
         rng, step_rng = jax.random.split(state.rng)
         num_updates = state.step // accum if accum > 1 else state.step
+        trainable = model.trainable_mask(state.params)
 
         def loss_fn(params):
+            # stop_gradient on every frozen leaf: torch's requires_grad=False
+            # semantics. Without it the loss still differentiates THROUGH
+            # frozen weights that sit between trainable params and the loss
+            # (the cascaded branch's frozen CLIP text tower), so (a) XLA
+            # computes ~full weight-grad matmuls for those layers and
+            # (b) clip_by_global_norm / grad_norm see a norm inflated by
+            # grads the reference never computes (PL clips optimizer params
+            # only) — a training-dynamics parity bug, not just wasted FLOPs.
+            params = jax.tree.map(
+                lambda p, t: p if t else jax.lax.stop_gradient(p),
+                params,
+                trainable,
+            )
             loss_feats, log_metrics, _, new_model_state = model.forward(
                 params,
                 state.model_state,

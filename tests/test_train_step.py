@@ -190,6 +190,65 @@ def test_scheduled_vq_temp_follows_optimizer_updates(setup):
     np.testing.assert_allclose(temps, want, rtol=1e-6)
 
 
+def test_grad_norm_excludes_frozen_towers(setup):
+    """The loss differentiates THROUGH the frozen CLIP text tower (cascaded
+    keywords feed it), so without stop_gradient on frozen leaves the raw
+    grads carry nonzero text-tower entries — and clip_by_global_norm /
+    grad_norm would see a norm the reference never computes (PL clips
+    optimizer params only). The train step must report and clip the
+    trainable-only norm."""
+    _, model = setup
+    params, model_state = model.init(jax.random.key(0))
+    batch = make_batch()
+
+    def raw_loss(p):
+        loss_feats, _, _, _ = model.forward(p, model_state, batch, train=False)
+        return model.compute_loss(p, loss_feats)["loss"]
+
+    raw_grads = jax.grad(raw_loss)(params)
+    text_norm = float(
+        sum(
+            jnp.sum(jnp.square(x))
+            for x in jax.tree.leaves(raw_grads["clip"]["text"])
+        )
+    )
+    assert text_norm > 0  # the hazard is real: frozen weights get grads
+
+    mask = model.trainable_mask(params)
+    tx, _ = build_optimizer(model.config, mask)
+    state = create_train_state(model, tx, jax.random.key(0))
+    state = state.__class__(
+        params=params,
+        model_state=model_state,
+        opt_state=tx.init(params),
+        step=state.step,
+        rng=state.rng,
+    )
+
+    # oracle: replicate the step's train-mode forward (same rng split, same
+    # num_updates) with frozen leaves stop-gradded
+    _, step_rng = jax.random.split(state.rng)
+
+    def stopped_loss(p):
+        p = jax.tree.map(
+            lambda x, t: x if t else jax.lax.stop_gradient(x), p, mask
+        )
+        loss_feats, _, _, _ = model.forward(
+            p, model_state, batch, rng=step_rng, train=True,
+            num_updates=state.step,
+        )
+        return model.compute_loss(p, loss_feats)["loss"]
+
+    import optax
+
+    want = float(optax.global_norm(jax.grad(stopped_loss)(params)))
+
+    step = jit_train_step(make_train_step(model, tx), donate=False)
+    _, metrics = step(state, batch)
+    got = float(metrics["grad_norm"])
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
 def test_device_prefetch_preserves_batches():
     """device_prefetch must yield every batch, in order, with identical
     values and the data-axis sharding applied."""
