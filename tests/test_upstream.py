@@ -134,6 +134,20 @@ class TestModelWithGenericUpstream:
         assert not any(jax.tree.leaves(mask["audio_encoder"]))
         assert all(jax.tree.leaves(mask["parallel_branch"]))
 
+    def test_named_feat_select_keys(self, model):
+        """Reference named-key selection (speech_encoder_plus.py:296-306):
+        "hidden_states"/"all" return the full per-layer state tuple."""
+        params, _ = model.init(jax.random.key(0))
+        wav = jnp.zeros((2, 2000), jnp.float32)
+        wav_len = jnp.asarray([2000, 1500])
+        model.config.audio_encoder.feat_select_idx = "hidden_states"
+        feat, feat_len = model.forward_audio(params, wav, wav_len)
+        assert isinstance(feat, tuple) and len(feat) == 2
+        model.config.audio_encoder.feat_select_idx = "last_hidden_state"
+        feat, _ = model.forward_audio(params, wav, wav_len)
+        assert feat.shape == (2, 12, 32)
+        model.config.audio_encoder.feat_select_idx = "weighted_sum"
+
     def test_selected_layer_finetune_rejected(self, model):
         model.config.audio_encoder.trainable = True
         model.config.audio_encoder.unfreeze_layers = [1]
