@@ -99,6 +99,27 @@ class TestAttentionVmem:
         ref = _reference(q, k, v, None, causal)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
+    def test_vmem_envelope_uses_true_shapes(self):
+        """Cross-attention with S >> L must size k/v buffers by S, not L —
+        an eligibility decision from the query-length-only formula could
+        exceed VMEM at Mosaic compile time (ADVICE r1)."""
+        from speechclip_tpu.kernels.attention_vmem import (
+            _VMEM_BUDGET,
+            _group_size,
+            vmem_eligible,
+        )
+
+        l, s, d, isz = 128, 4096, 64, 2
+        g = _group_size(bh=64, l=l, s=s, d=d, itemsize=isz)
+        per_pair = (2 * l * d + s * d + s * (d + 1)) * isz * 2
+        score = l * s * 6
+        assert g * per_pair + score <= _VMEM_BUDGET
+        # symmetric shapes keep their round-1 grouping (no regression)
+        assert _group_size(bh=512 * 12, l=320, s=320, d=64, itemsize=2) >= 4
+        assert vmem_eligible(512, 12, 320, 320, 64, 2)
+        # self-attention at tiny L stays ineligible (XLA wins there)
+        assert not vmem_eligible(256, 12, 50, 50, 64, 2)
+
     def test_key_length_masking_and_grouping(self):
         from speechclip_tpu.kernels.attention_vmem import (
             _forward,
