@@ -33,8 +33,14 @@ WAV_LEN = 102400
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    if os.environ.get("SPEECHCLIP_FAST_RNG") == "1":
+        # production operating point: shipped configs set trainer.fast_rng
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     from __graft_entry__ import _flagship_config
     from speechclip_tpu.models.speechclip import SpeechCLIPModel

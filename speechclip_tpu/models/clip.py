@@ -261,27 +261,30 @@ def encode_keywords(
     sot_id: int,
     eot_id: int,
 ) -> jnp.ndarray:
-    """Inject K keyword embeddings into a SOT/EOT 77-token buffer and run
-    the text tower; pool at position K+1 (EOT)
-    (reference clip_official.py:220-264)."""
+    """Inject K keyword embeddings into a SOT/EOT buffer and run the text
+    tower; pool at position K+1 (EOT) (reference clip_official.py:220-264).
+
+    The reference pads the buffer to the full 77-token context. Under the
+    tower's CAUSAL attention, the output at the EOT position (K+1) depends
+    only on positions 0..K+1 — the 77-K-2 trailing pad positions are pure
+    waste (they attend backward, nothing reads them). Running the tower at
+    sequence length K+2 is therefore mathematically EXACT and ~7x less
+    text-tower work at K=8 (train-step impact measured in
+    docs/DESIGN_NOTES.md round-2 budget). Exactness is pinned against the
+    full-77-buffer encode_text in tests (tiny and production dims)."""
     b, k, w = keywords.shape
-    ctx = cfg.text.context_length
     emb_table = params["text"]["token_embedding"]
-    # token buffer: [SOT, kw_1..kw_K, EOT, 0, 0, ...]
-    zero_emb = emb_table[0].astype(keywords.dtype)
     sot_emb = emb_table[sot_id].astype(keywords.dtype)
     eot_emb = emb_table[eot_id].astype(keywords.dtype)
-    rest = jnp.broadcast_to(zero_emb, (b, ctx - k - 2, w))
     x = jnp.concatenate(
         [
             jnp.broadcast_to(sot_emb, (b, 1, w)),
             keywords,
             jnp.broadcast_to(eot_emb, (b, 1, w)),
-            rest,
         ],
         axis=1,
-    )
-    x = x + params["text"]["positional_embedding"].astype(x.dtype)
+    )  # (B, K+2, W)
+    x = x + params["text"]["positional_embedding"][: k + 2].astype(x.dtype)
     x = _text_transformer(params, cfg, x)
     x = layer_norm(params["text"]["ln_final"], x)
     pooled = x[:, k + 1]
