@@ -201,6 +201,13 @@ def main():
     import jax
 
     jax.config.update("jax_default_prng_impl", "rbg")
+    def checkpoint_result(result):
+        # the axon remote-compile latency is large and variable (minutes per
+        # graph, docs/DESIGN_NOTES.md); persist progress so a caller-side
+        # timeout still leaves the measured numbers on disk
+        with open(os.path.join(os.path.dirname(__file__), "bench_last.json"), "w") as f:
+            json.dump(result, f)
+
     utt_per_sec = headline()
     result = {
         "metric": "utterances_per_sec_per_chip_encode_retrieval",
@@ -208,8 +215,10 @@ def main():
         "unit": "utt/s/chip (6.4s audio, parallel base)",
         "vs_baseline": round(utt_per_sec / A100_BASELINE_UTT_PER_SEC, 3),
     }
+    checkpoint_result(result)
     if os.environ.get("SPEECHCLIP_BENCH_HEADLINE_ONLY") != "1":
         extras = {}
+        result["extras"] = extras
         for key, fn in [
             ("cascaded_base_utt_per_sec", lambda: encode_variant("base_casc")),
             ("hubert_large_utt_per_sec", lambda: encode_variant("large_par")),
@@ -219,7 +228,7 @@ def main():
                 extras[key] = round(fn(), 2)
             except Exception as e:  # a broken variant must not hide the headline
                 extras[key] = f"FAILED {type(e).__name__}: {str(e)[:120]}"
-        result["extras"] = extras
+            checkpoint_result(result)
     print(json.dumps(result))
 
 
