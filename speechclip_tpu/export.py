@@ -1,0 +1,189 @@
+"""AOT export of the inference surfaces (jax.export / StableHLO).
+
+A deployment capability beyond the reference, which has no serving story —
+its inference is ``example.py`` importing the full training repo
+(reference example.py:10-40). Here the three encoders can be serialized to
+StableHLO artifacts that run under any JAX runtime (or PJRT C API consumer)
+WITHOUT the model code, config system, or checkpoint machinery:
+
+- ``export_encode_speech``  — wav/wav_len -> {parallel_audio_feat,
+  cascaded_audio_feat, keywords} (whatever the config enables),
+- ``export_encode_image``   — images -> image_feat,
+- ``export_encode_text``    — token ids (+ EOT positions) -> text_feat,
+- ``load_exported``         — deserialize and call.
+
+Weights are baked into the artifact as constants (self-contained single
+file; the usual serving trade — artifact size for zero-dependency loads).
+Shapes are static per artifact, matching the bucketed-loader design: export
+one artifact per (batch, wav_len) serving shape.
+
+TPU note: export with ``platforms=("tpu",)`` (the default when a TPU
+backend is live) compiles nothing at export time — StableHLO is lowered,
+then the serving runtime's XLA does the platform compile at load. The same
+artifact can carry several platforms.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _default_platforms() -> Tuple[str, ...]:
+    return (jax.devices()[0].platform,)
+
+
+def _export_fn(fn, example_args, platforms):
+    from jax import export as jexport
+
+    specs = tuple(
+        jax.ShapeDtypeStruct(a.shape, a.dtype) for a in example_args
+    )
+    exported = jexport.export(jax.jit(fn), platforms=list(platforms))(*specs)
+    return bytes(exported.serialize())
+
+
+def export_encode_speech(
+    model,
+    params,
+    state,
+    batch_size: int,
+    wav_samples: int,
+    platforms: Optional[Sequence[str]] = None,
+) -> bytes:
+    """Serialize ``model.encode_speech`` at a static (batch, wav) shape.
+
+    Returns the serialized artifact; write it to disk as-is. Params/state
+    are captured as constants.
+    """
+    platforms = tuple(platforms) if platforms else _default_platforms()
+
+    def fn(wav, wav_len):
+        out = model.encode_speech(params, state, wav, wav_len)
+        return {
+            k: v
+            for k, v in out.items()
+            if isinstance(v, jnp.ndarray) or hasattr(v, "shape")
+            if k != "vq_results"
+        }
+
+    example = (
+        jnp.zeros((batch_size, wav_samples), jnp.float32),
+        jnp.zeros((batch_size,), jnp.int32),
+    )
+    return _export_fn(fn, example, platforms)
+
+
+def export_encode_image(
+    model,
+    params,
+    batch_size: int,
+    platforms: Optional[Sequence[str]] = None,
+) -> bytes:
+    """Serialize the image tower (+ optional projection) for gallery
+    encoding; input is normalized NHWC float32."""
+    platforms = tuple(platforms) if platforms else _default_platforms()
+    size = model.clip_cfg.vision.image_size
+
+    def fn(images):
+        return model.forward_image(params, images)
+
+    example = (jnp.zeros((batch_size, size, size, 3), jnp.float32),)
+    return _export_fn(fn, example, platforms)
+
+
+def export_encode_text(
+    model,
+    params,
+    batch_size: int,
+    platforms: Optional[Sequence[str]] = None,
+) -> bytes:
+    """Serialize the text tower (reduced-vocab ids + EOT positions)."""
+    platforms = tuple(platforms) if platforms else _default_platforms()
+    ctx = model.clip_cfg.text.context_length
+
+    def fn(text, eot_positions):
+        return model.forward_text(params, text, eot_positions)
+
+    example = (
+        jnp.zeros((batch_size, ctx), jnp.int32),
+        jnp.zeros((batch_size,), jnp.int32),
+    )
+    return _export_fn(fn, example, platforms)
+
+
+def load_exported(blob: bytes) -> Callable:
+    """bytes -> callable running the artifact on the ambient backend."""
+    from jax import export as jexport
+
+    exported = jexport.deserialize(blob)
+    return exported.call
+
+
+def main():
+    """CLI: export serving artifacts from a checkpoint.
+
+    python -m speechclip_tpu.export --ckpt <run_dir_or_.ckpt> \
+        --out exports/ --batch 8 --wav-samples 102400 [--platform cpu]
+    """
+    import argparse
+    import os
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--wav-samples", type=int, default=102400)
+    parser.add_argument("--platform", default=None)
+    args = parser.parse_args()
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from .config import ConfigNode
+    from .models.speechclip import SpeechCLIPModel
+    from .training.checkpoint import load_config_from_checkpoint
+
+    if args.ckpt.endswith(".ckpt"):
+        from .convert.reference_ckpt import load_reference_checkpoint
+
+        params, model_state, config = load_reference_checkpoint(args.ckpt)
+        config = ConfigNode(config)
+        model = SpeechCLIPModel(config)
+        state = model_state or {}
+    else:
+        config = load_config_from_checkpoint(args.ckpt)
+        model = SpeechCLIPModel(config)
+        from .training.optim import build_optimizer
+        from .training.train_step import create_train_state
+
+        tx, _ = build_optimizer(config, model.trainable_mask(
+            jax.eval_shape(lambda: model.init(jax.random.key(0))[0])
+        ))
+        tstate = create_train_state(model, tx, jax.random.key(0))
+        from .training.checkpoint import CheckpointManager
+
+        tstate = CheckpointManager(os.path.dirname(args.ckpt)).restore(
+            args.ckpt, tstate
+        )
+        params, state = tstate.params, tstate.model_state
+
+    os.makedirs(args.out, exist_ok=True)
+    blobs = {
+        "encode_speech": export_encode_speech(
+            model, params, state, args.batch, args.wav_samples
+        ),
+        "encode_image": export_encode_image(model, params, args.batch),
+        "encode_text": export_encode_text(model, params, args.batch),
+    }
+    for name, blob in blobs.items():
+        path = os.path.join(args.out, f"{name}.stablehlo")
+        with open(path, "wb") as f:
+            f.write(blob)
+        print(f"wrote {path} ({len(blob)/1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""AOT export (speechclip_tpu/export.py): StableHLO round-trips of the
+three inference surfaces on the CPU backend."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speechclip_tpu.export import (
+    export_encode_image,
+    export_encode_speech,
+    export_encode_text,
+    load_exported,
+)
+from speechclip_tpu.models.speechclip import SpeechCLIPModel
+from tests.test_models import tiny_speechclip_config
+
+
+@pytest.fixture(scope="module")
+def model_and_state(tmp_path_factory):
+    model = SpeechCLIPModel(
+        tiny_speechclip_config(tmp_path_factory.mktemp("exp_cfg"))
+    )
+    params, state = model.init(jax.random.key(0))
+    return model, params, state
+
+
+class TestExport:
+    def test_speech_roundtrip_matches_direct_call(self, model_and_state):
+        model, params, state = model_and_state
+        blob = export_encode_speech(
+            model, params, state, batch_size=2, wav_samples=2000,
+            platforms=("cpu",),
+        )
+        assert isinstance(blob, bytes) and len(blob) > 1000
+        fn = load_exported(blob)
+
+        rng = np.random.default_rng(0)
+        wav = jnp.asarray(rng.standard_normal((2, 2000)).astype(np.float32))
+        wav_len = jnp.asarray(np.array([2000, 1200], np.int32))
+        got = fn(wav, wav_len)
+        want = model.encode_speech(params, state, wav, wav_len)
+        np.testing.assert_allclose(
+            np.asarray(got["parallel_audio_feat"]),
+            np.asarray(want["parallel_audio_feat"]),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["cascaded_audio_feat"]),
+            np.asarray(want["cascaded_audio_feat"]),
+            atol=1e-5,
+        )
+        assert "vq_results" not in got  # diagnostics stripped for serving
+
+    def test_image_and_text_roundtrip(self, model_and_state):
+        model, params, state = model_and_state
+        img_fn = load_exported(
+            export_encode_image(model, params, batch_size=2, platforms=("cpu",))
+        )
+        rng = np.random.default_rng(1)
+        images = jnp.asarray(
+            rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(img_fn(images)),
+            np.asarray(model.forward_image(params, images)),
+            atol=1e-5,
+        )
+
+        txt_fn = load_exported(
+            export_encode_text(model, params, batch_size=2, platforms=("cpu",))
+        )
+        text = np.zeros((2, 77), np.int32)
+        text[:, 0] = model.sot_id
+        text[0, 1:4] = [5, 6, 7]
+        text[0, 4] = model.eot_id
+        text[1, 1] = model.eot_id
+        eots = jnp.asarray(np.array([4, 1], np.int32))
+        text = jnp.asarray(text)
+        np.testing.assert_allclose(
+            np.asarray(txt_fn(text, eots)),
+            np.asarray(model.forward_text(params, text, eots)),
+            atol=1e-5,
+        )
