@@ -299,9 +299,17 @@ class Trainer:
                     }
                     now = time.perf_counter()
                     host_metrics["steps_per_sec"] = log_every / (now - t_last)
-                    # schedule state advances once per optimizer emit, not
-                    # per micro-batch (optax.MultiSteps)
-                    host_metrics["lr"] = float(self.schedule(step // self._accum))
+                    # the lr APPLIED by the latest update: optax consumes
+                    # schedule(count) with count = number of prior emits,
+                    # advancing once per optimizer emit (optax.MultiSteps),
+                    # not per micro-batch. Logging schedule(step) would show
+                    # the NEXT step's lr — visibly wrong at the max_step
+                    # boundary, where the (formula-exact, reference
+                    # scheduler.py:33-37) unclamped decay dips below zero on
+                    # a step the optimizer never takes.
+                    host_metrics["lr"] = float(
+                        self.schedule(max(step - 1, 0) // self._accum)
+                    )
                     t_last = now
                     self.metrics_logger.log(host_metrics, step)
                 if step >= max_steps:
