@@ -155,19 +155,23 @@ def main():
         state = model_state or {}
     else:
         config = load_config_from_checkpoint(args.ckpt)
-        model = SpeechCLIPModel(config)
-        from .training.optim import build_optimizer
+        # PRNG impl must match the run that wrote the checkpoint (the
+        # shipped configs set trainer.fast_rng -> rbg; the restore guard
+        # rejects a mismatched key impl) and must be set before any key
+        if config.get_path("trainer.fast_rng", False):
+            jax.config.update("jax_default_prng_impl", "rbg")
         from .training.train_step import create_train_state
+        from .training.trainer import Trainer
 
-        tx, _ = build_optimizer(config, model.trainable_mask(
-            jax.eval_shape(lambda: model.init(jax.random.key(0))[0])
-        ))
-        tstate = create_train_state(model, tx, jax.random.key(0))
-        from .training.checkpoint import CheckpointManager
-
-        tstate = CheckpointManager(os.path.dirname(args.ckpt)).restore(
-            args.ckpt, tstate
-        )
+        # Trainer owns the restore contract: slim checkpoints (frozen
+        # towers excluded) get the pretrained towers re-populated via
+        # prepare_restore_target, and its CheckpointManager carries the
+        # slim mask
+        trainer = Trainer(config)
+        model = trainer.model
+        tstate = create_train_state(model, trainer.tx, jax.random.key(0))
+        tstate = trainer.prepare_restore_target(args.ckpt, tstate)
+        tstate = trainer.ckpt.restore(args.ckpt, tstate)
         params, state = tstate.params, tstate.model_state
 
     os.makedirs(args.out, exist_ok=True)

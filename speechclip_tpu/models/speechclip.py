@@ -68,23 +68,30 @@ def resolve_audio_upstream(config: ConfigNode):
     )
 
 
-def resolve_tower_configs(config: ConfigNode):
+_UNRESOLVED = object()
+
+
+def _resolve_clip_cfg(config: ConfigNode):
+    custom_clip = config.clip.get("custom")
+    if custom_clip is not None:
+        return clip_mod.CLIPConfig(
+            vision=clip_mod.CLIPVisionConfig(**custom_clip.vision.to_dict()),
+            text=clip_mod.CLIPTextConfig(**custom_clip.text.to_dict()),
+        )
+    return clip_mod.NAMED_CONFIGS[config.clip.name]
+
+
+def resolve_tower_configs(config: ConfigNode, upstream=_UNRESOLVED):
     """(audio_cfg, CLIPConfig) from the config block: named presets, or
     custom dims via audio_encoder.custom / clip.custom. audio_cfg is a
     HubertConfig for the hubert family, or the generic upstream's config
     (same encoder_embed_dim / num_hidden_states / downsample_rate surface)
-    for registered s3prl_plus names."""
-    upstream = resolve_audio_upstream(config)
+    for registered s3prl_plus names. Pass an already-resolved ``upstream``
+    (or None for the hubert family) to avoid re-resolving."""
+    if upstream is _UNRESOLVED:
+        upstream = resolve_audio_upstream(config)
     if upstream is not None:
-        custom_clip = config.clip.get("custom")
-        if custom_clip is not None:
-            clip_cfg = clip_mod.CLIPConfig(
-                vision=clip_mod.CLIPVisionConfig(**custom_clip.vision.to_dict()),
-                text=clip_mod.CLIPTextConfig(**custom_clip.text.to_dict()),
-            )
-        else:
-            clip_cfg = clip_mod.NAMED_CONFIGS[config.clip.name]
-        return upstream.cfg, clip_cfg
+        return upstream.cfg, _resolve_clip_cfg(config)
     custom_ae = config.audio_encoder.get("custom")
     if custom_ae is not None:
         kwargs = dict(custom_ae.to_dict())
@@ -99,15 +106,7 @@ def resolve_tower_configs(config: ConfigNode):
     remat = config.audio_encoder.get("remat")
     if remat is not None:
         audio_cfg = dataclasses.replace(audio_cfg, remat=bool(remat))
-    custom_clip = config.clip.get("custom")
-    if custom_clip is not None:
-        clip_cfg = clip_mod.CLIPConfig(
-            vision=clip_mod.CLIPVisionConfig(**custom_clip.vision.to_dict()),
-            text=clip_mod.CLIPTextConfig(**custom_clip.text.to_dict()),
-        )
-    else:
-        clip_cfg = clip_mod.NAMED_CONFIGS[config.clip.name]
-    return audio_cfg, clip_cfg
+    return audio_cfg, _resolve_clip_cfg(config)
 
 
 @dataclasses.dataclass
@@ -123,7 +122,9 @@ class SpeechCLIPModel:
             raise NotImplementedError(f"audio encoder type {ae_type}")
         # generic s3prl upstream (None -> in-repo HuBERT fairseq contract)
         self.upstream = resolve_audio_upstream(cfg)
-        self.audio_cfg, self.clip_cfg = resolve_tower_configs(cfg)
+        self.audio_cfg, self.clip_cfg = resolve_tower_configs(
+            cfg, upstream=self.upstream
+        )
         if cfg.audio_encoder.get("normalize_hiddenstates", False):
             self.hidden_norm_type = cfg.audio_encoder.get("normalize_type", "s3prl")
         else:

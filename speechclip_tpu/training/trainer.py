@@ -307,8 +307,10 @@ class Trainer:
                     # boundary, where the (formula-exact, reference
                     # scheduler.py:33-37) unclamped decay dips below zero on
                     # a step the optimizer never takes.
+                    # after `step` micro-batches there were step//accum
+                    # emits; the latest consumed schedule(emits - 1)
                     host_metrics["lr"] = float(
-                        self.schedule(max(step - 1, 0) // self._accum)
+                        self.schedule(max(step // self._accum - 1, 0))
                     )
                     t_last = now
                     self.metrics_logger.log(host_metrics, step)
@@ -353,9 +355,25 @@ class Trainer:
         outputs: List[Dict] = []
         agg: Dict[str, List[float]] = {}
         ragged_metrics: Dict[str, float] = {}
-        for batch in loader:
-            padded, n_valid = _pad_batch(batch, batch_size)
-            out = self._eval_step(state, shard_batch(padded, self.mesh))
+
+        def _prefetched(lookahead: int = 2):
+            # jax.device_put is async: staging the next batches onto the
+            # mesh while the current eval step runs hides the H2D transfer
+            # (fit() already does this via device_prefetch; the eval loop
+            # was serial — measured H2D-bound end-to-end on the axon relay)
+            from collections import deque
+
+            buf = deque()
+            for batch in loader:
+                padded, n_valid = _pad_batch(batch, batch_size)
+                buf.append((shard_batch(padded, self.mesh), n_valid, batch))
+                if len(buf) >= lookahead:
+                    yield buf.popleft()
+            while buf:
+                yield buf.popleft()
+
+        for sharded, n_valid, batch in _prefetched():
+            out = self._eval_step(state, sharded)
             out = jax.device_get(out)
             rec = {
                 "id": out["id"][:n_valid],

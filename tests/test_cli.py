@@ -135,6 +135,20 @@ class TestCLI:
         assert "validation metrics (test)" in result.stderr, result.stderr[-3000:]
         assert "Flickr8k (test): 3 samples" in result.stderr, result.stderr[-3000:]
 
+        # AOT export CLI against the same checkpoint (restore contract:
+        # config-from-ckpt, PRNG impl, slim handling live in Trainer)
+        result = subprocess.run(
+            [
+                sys.executable, "-m", "speechclip_tpu.export",
+                "--ckpt", str(ckpt_last), "--out", str(exp / "exports"),
+                "--batch", "2", "--wav-samples", "2000", "--platform", "cpu",
+            ],
+            capture_output=True, text=True, cwd=REPO, timeout=600,
+        )
+        assert result.returncode == 0, result.stderr[-3000:]
+        for name in ("encode_speech", "encode_image", "encode_text"):
+            assert (exp / "exports" / f"{name}.stablehlo").exists()
+
         # embedding-extraction example against the same checkpoint
         env = dict(os.environ)
         env["XLA_FLAGS"] = (
