@@ -68,6 +68,7 @@ class BucketedLoader:
         num_workers: int = 8,
         drop_last: Optional[bool] = None,
         num_bucket_groups: int = 4,
+        compact_wav: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -76,6 +77,9 @@ class BucketedLoader:
         self.seed = seed
         self.num_workers = num_workers
         self.drop_last = train if drop_last is None else drop_last
+        # ship wav as int16 PCM (half the H2D bytes; the model rescales on
+        # device). Exact for PCM16 sources: f32 = pcm/32768 round-trips.
+        self.compact_wav = compact_wav
         self.epoch = 0
 
         self._lengths = np.array(
@@ -255,4 +259,10 @@ class BucketedLoader:
             batch["text"] = np.stack([s["text"] for s in samples]).astype(
                 np.int64
             )
+        if self.compact_wav:
+            batch["wav"] = np.clip(
+                np.round(batch["wav"].astype(np.float64) * 32768.0),
+                -32768,
+                32767,
+            ).astype(np.int16)
         return batch

@@ -328,6 +328,12 @@ class SpeechCLIPModel:
         """(reference KWClipBase.forward_audio :91-118 +
         FairseqSpeechEncoder_Hubert.forward :520-634)"""
         train_encoder = train and self.config.audio_encoder.get("trainable", False)
+        if wav.dtype == jnp.int16:
+            # compact-transfer mode (loader compact_wav): int16 PCM on the
+            # wire, rescaled here. int16 -> f32 is exact and /32768 is a
+            # power-of-two scale, so this matches the host f32 path bit-for-
+            # bit for PCM16 sources before the compute-dtype cast.
+            wav = wav.astype(jnp.float32) * (1.0 / 32768.0)
         wav = wav.astype(self.compute_dtype)
         if self.upstream is not None:
             hidden_states, feat_len = self.upstream.apply(

@@ -160,6 +160,14 @@ class Trainer:
             batch_size=batch_size,
             train=False,
             seed=self.seed,
+            compact_wav=self._compact_wav(),
+        )
+
+    def _compact_wav(self) -> bool:
+        # on_device_preprocess = "ship compact dtypes, normalize on device":
+        # uint8 images (dataset image_mode raw) + int16 PCM wav (loader)
+        return bool(
+            self.config.get_path("data.dataset.on_device_preprocess", False)
         )
 
     def build_loaders(self):
@@ -177,6 +185,7 @@ class Trainer:
             train=True,
             max_audio_len=max_audio_len,
             seed=self.seed,
+            compact_wav=self._compact_wav(),
         )
         return train_loader, self.build_eval_loader("dev")
 

@@ -201,6 +201,48 @@ class TestOnDeviceImagePath:
         assert np.isfinite(np.asarray(out)).all()
 
 
+class TestCompactWav:
+    """compact_wav: int16 PCM on the wire, rescaled on device — exact for
+    PCM16 sources (f32 = pcm/32768 round-trips)."""
+
+    def test_loader_emits_exact_int16(self, flickr_root):
+        ds = FlickrDataset(str(flickr_root), ["audio"], split="train")
+        kw = dict(batch_size=4, train=False, seed=1, num_workers=2)
+        plain = list(BucketedLoader(ds, **kw))
+        compact = list(BucketedLoader(ds, compact_wav=True, **kw))
+        assert len(plain) == len(compact) > 0
+        for ref, b in zip(plain, compact):  # eval order is deterministic
+            wav = b["wav"]
+            assert wav.dtype == np.int16
+            np.testing.assert_array_equal(b["id"], ref["id"])
+            # wav files are PCM16: quantization must round-trip exactly
+            np.testing.assert_array_equal(
+                wav.astype(np.float32) / 32768.0, ref["wav"]
+            )
+
+    def test_model_forward_identical(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from speechclip_tpu.models.speechclip import SpeechCLIPModel
+        from tests.test_models import tiny_speechclip_config
+
+        model = SpeechCLIPModel(tiny_speechclip_config(tmp_path))
+        params, _ = model.init(jax.random.key(0))
+        pcm = np.random.default_rng(0).integers(
+            -32768, 32768, (2, 2000), dtype=np.int16
+        )
+        wav_len = jnp.asarray([2000, 1500])
+        feat_i16, len_i16 = model.forward_audio(
+            params, jnp.asarray(pcm), wav_len
+        )
+        feat_f32, len_f32 = model.forward_audio(
+            params, jnp.asarray(pcm.astype(np.float32) / 32768.0), wav_len
+        )
+        np.testing.assert_array_equal(np.asarray(feat_i16), np.asarray(feat_f32))
+        np.testing.assert_array_equal(np.asarray(len_i16), np.asarray(len_f32))
+
+
 class TestLoaderDeterminism:
     def test_same_seed_same_stream(self, flickr_root):
         ds = FlickrDataset(str(flickr_root), ["audio"], split="train")
