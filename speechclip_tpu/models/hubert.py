@@ -88,6 +88,10 @@ class HubertConfig:
 
 HUBERT_BASE = HubertConfig()
 HUBERT_LARGE = HubertConfig(
+    conv_bias=True,  # layer_norm-extractor models carry conv biases
+    # (facebook/hubert-large-ll60k config: conv_bias=true); the converters
+    # are presence-driven either way, so this only affects random init and
+    # config-chosen parity tests
     encoder_embed_dim=1024,
     encoder_layers=24,
     encoder_ffn_dim=4096,

@@ -63,6 +63,72 @@ class TestFullSizeHubert:
         # 16000 samples -> 49 frames; round(16000/320)=50 clamps to 49
         np.testing.assert_array_equal(np.asarray(feat_len), [49])
 
+    def test_hubert_large_matches_hf(self):
+        """The PRE-norm (do_stable_layer_norm) path at production dims:
+        1024-d, 24 layers, layer_norm conv extractor with conv biases,
+        per-utterance waveform normalization (fairseq task.cfg.normalize;
+        HF expects pre-normalized input, so the oracle gets the host-side
+        equivalent of our in-model normalization)."""
+        from transformers import HubertConfig, HubertModel
+
+        torch.manual_seed(2)
+        hf = HubertModel(
+            HubertConfig(
+                hidden_size=1024,
+                num_hidden_layers=24,
+                num_attention_heads=16,
+                intermediate_size=4096,
+                feat_extract_norm="layer",
+                conv_bias=True,
+                do_stable_layer_norm=True,
+                hidden_dropout=0.0,
+                attention_dropout=0.0,
+                feat_proj_dropout=0.0,
+                activation_dropout=0.0,
+                layerdrop=0.0,
+                apply_spec_augment=False,
+            )
+        )
+        hf.eval()
+        wav = np.random.default_rng(4).standard_normal((1, 16000)).astype(
+            np.float32
+        )
+        normed = (wav - wav.mean(axis=1, keepdims=True)) / np.sqrt(
+            wav.var(axis=1, keepdims=True) + 1e-5
+        )
+        with torch.no_grad():
+            out = hf(torch.tensor(normed), output_hidden_states=True)
+        params = hubert_from_hf(
+            {k: v.numpy() for k, v in hf.state_dict().items()},
+            hubert_mod.HUBERT_LARGE,
+        )
+        hiddens, feat_len = hubert_mod.hubert_apply(
+            params,
+            hubert_mod.HUBERT_LARGE,  # normalize_waveform=True: raw wav in
+            jnp.asarray(wav),
+            jnp.asarray(np.array([16000])),
+        )
+        assert len(hiddens) == 25 == len(out.hidden_states)
+        # contract difference on the LAST state only: the reference's custom
+        # fairseq forward never applies the pre-norm model's final
+        # encoder.layer_norm (speech_encoder_plus.py:29-64 has no post-loop
+        # norm), so our states are raw layer outputs; HF's final
+        # hidden_states entry IS post-norm. States 0..23 compare directly;
+        # the last compares after applying the (converted) final norm.
+        for i in range(24):
+            np.testing.assert_allclose(
+                np.asarray(hiddens[i]), out.hidden_states[i].numpy(),
+                atol=5e-3, err_msg=f"hidden state {i}",
+            )
+        from speechclip_tpu.ops.basic import layer_norm
+
+        final = layer_norm(params["encoder"]["layer_norm"], hiddens[24])
+        np.testing.assert_allclose(
+            np.asarray(final), out.hidden_states[24].numpy(), atol=5e-3,
+            err_msg="final state (+encoder.layer_norm)",
+        )
+        np.testing.assert_array_equal(np.asarray(feat_len), [49])
+
 
 class TestFullSizeCLIP:
     def test_vit_b32_matches_hf(self):
