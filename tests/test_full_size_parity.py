@@ -209,6 +209,73 @@ class TestFullSizeCLIP:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
 
 
+class TestFullSizeCLIPLarge:
+    def test_vit_l14_matches_hf(self):
+        """The second shipped tower family at production dims: ViT-L/14
+        vision (1024-d, 24 layers, patch 14 -> 257 tokens) + 768-wide text
+        tower, 768-d joint space (large flickr/coco configs)."""
+        from transformers import (
+            CLIPConfig,
+            CLIPModel,
+            CLIPTextConfig,
+            CLIPVisionConfig,
+        )
+
+        torch.manual_seed(3)
+        hf = CLIPModel(
+            CLIPConfig.from_text_vision_configs(
+                CLIPTextConfig(
+                    vocab_size=49408,
+                    hidden_size=768,
+                    intermediate_size=3072,
+                    num_hidden_layers=12,
+                    num_attention_heads=12,
+                    max_position_embeddings=77,
+                    hidden_act="quick_gelu",
+                    eos_token_id=49407,
+                    bos_token_id=49406,
+                ),
+                CLIPVisionConfig(
+                    image_size=224,
+                    patch_size=14,
+                    hidden_size=1024,
+                    intermediate_size=4096,
+                    num_hidden_layers=24,
+                    num_attention_heads=16,
+                    hidden_act="quick_gelu",
+                ),
+                projection_dim=768,
+            )
+        )
+        hf.eval()
+        params = clip_from_hf(
+            {k: v.numpy() for k, v in hf.state_dict().items()},
+            clip_mod.CLIP_VIT_L14,
+        )
+
+        images = np.random.default_rng(5).standard_normal(
+            (1, 3, 224, 224)
+        ).astype(np.float32)
+        with torch.no_grad():
+            img_t = hf.get_image_features(pixel_values=torch.tensor(images))
+        img_j = clip_mod.encode_image(
+            params, clip_mod.CLIP_VIT_L14, jnp.asarray(images.transpose(0, 2, 3, 1))
+        )
+        np.testing.assert_allclose(np.asarray(img_j), img_t.numpy(), atol=5e-3)
+
+        text = np.zeros((1, 77), np.int64)
+        text[0, 0] = 49406
+        text[0, 1:9] = np.arange(100, 108)
+        text[0, 9] = 49407
+        with torch.no_grad():
+            txt_t = hf.get_text_features(input_ids=torch.tensor(text))
+        txt_j = clip_mod.encode_text(
+            params, clip_mod.CLIP_VIT_L14, jnp.asarray(text),
+            jnp.asarray(np.array([9])),
+        )
+        np.testing.assert_allclose(np.asarray(txt_j), txt_t.numpy(), atol=5e-3)
+
+
 class TestFullSizeEndToEnd:
     """End-to-end anchor at production dims while the released checkpoints
     are unreachable (zero-egress environment; the download attempt is logged
