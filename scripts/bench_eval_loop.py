@@ -6,7 +6,9 @@ host trim -> retrieval) at a given data.eval_batch_size, and reports
 utterances/sec including host ingest. Quantifies the round-1 VERDICT
 weak-#5 knob (dev_batch_size 8 -> eval_batch_size 256).
 
-Run: python scripts/bench_eval_loop.py [N_SAMPLES [EVAL_BATCH]]
+Run: python scripts/bench_eval_loop.py [N_SAMPLES [EVAL_BATCH [u8]]]
+("u8" enables data.dataset.on_device_preprocess: uint8 images + int16 wav
+over the interconnect, resize/normalize/rescale on device.)
 """
 
 import os

@@ -25,8 +25,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-NSTEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 12
-BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+# argv parsing lives under __main__ (this module is imported by
+# scripts/bench_eval_loop.py, which has its own argv)
+NSTEPS = 12
+BATCH = 32
 N_IMAGES = 96
 SR = 16000
 WAV_SECONDS = 3  # one length -> one bucket -> ONE train-step compile
@@ -212,4 +214,8 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1:
+        NSTEPS = int(sys.argv[1])
+    if len(sys.argv) > 2:
+        BATCH = int(sys.argv[2])
     main()

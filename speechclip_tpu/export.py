@@ -160,19 +160,9 @@ def main():
         # rejects a mismatched key impl) and must be set before any key
         if config.get_path("trainer.fast_rng", False):
             jax.config.update("jax_default_prng_impl", "rbg")
-        from .training.train_step import create_train_state
-        from .training.trainer import Trainer
+        from .training.checkpoint import restore_inference_state
 
-        # Trainer owns the restore contract: slim checkpoints (frozen
-        # towers excluded) get the pretrained towers re-populated via
-        # prepare_restore_target, and its CheckpointManager carries the
-        # slim mask
-        trainer = Trainer(config)
-        model = trainer.model
-        tstate = create_train_state(model, trainer.tx, jax.random.key(0))
-        tstate = trainer.prepare_restore_target(args.ckpt, tstate)
-        tstate = trainer.ckpt.restore(args.ckpt, tstate)
-        params, state = tstate.params, tstate.model_state
+        model, params, state = restore_inference_state(config, args.ckpt)
 
     os.makedirs(args.out, exist_ok=True)
     blobs = {

@@ -91,7 +91,10 @@ HUBERT_LARGE = HubertConfig(
     conv_bias=True,  # layer_norm-extractor models carry conv biases
     # (facebook/hubert-large-ll60k config: conv_bias=true); the converters
     # are presence-driven either way, so this only affects random init and
-    # config-chosen parity tests
+    # config-chosen parity tests. NOTE: this adds conv-bias leaves to the
+    # params pytree — an orbax checkpoint of a hubert_large run saved
+    # before this change (none were released) would need a b=None
+    # migration to structure-match the restore target
     encoder_embed_dim=1024,
     encoder_layers=24,
     encoder_ffn_dim=4096,

@@ -228,3 +228,34 @@ def load_config_from_checkpoint(ckpt_dir: str) -> ConfigNode:
 
             return load_config(cand)
     raise FileNotFoundError(f"no config.yaml found near {ckpt_dir}")
+
+
+def restore_inference_state(config: ConfigNode, ckpt_path: str):
+    """(model, params, model_state) from a run checkpoint, WITHOUT the run
+    machinery's side effects — no workdir/logger creation, no TB events
+    (Trainer.__init__ writes into the experiment dir; read-only consumers
+    like the export CLI must not). Handles the full restore contract: slim
+    checkpoints get the frozen towers re-populated from the pretrained
+    assets first (Trainer.prepare_restore_target semantics)."""
+    import jax
+
+    from ..models.speechclip import SpeechCLIPModel
+    from .optim import build_optimizer
+    from .train_step import create_train_state
+
+    model = SpeechCLIPModel(config)
+    params_shapes = jax.eval_shape(lambda: model.init(jax.random.key(0))[0])
+    mask = model.trainable_mask(params_shapes)
+    tx, _ = build_optimizer(config, mask)
+    state = create_train_state(model, tx, jax.random.key(0))
+    slim = not config.get_path("trainer.checkpoint_frozen", True)
+    mgr = CheckpointManager(
+        os.path.dirname(os.path.abspath(ckpt_path)),
+        slim_mask=mask if (slim or CheckpointManager.is_slim(ckpt_path)) else None,
+    )
+    if CheckpointManager.is_slim(ckpt_path):
+        state = dataclasses.replace(
+            state, params=model.load_pretrained(state.params)
+        )
+    state = mgr.restore(ckpt_path, state)
+    return model, state.params, state.model_state

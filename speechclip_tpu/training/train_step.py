@@ -165,6 +165,22 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
+def staged(items, size: int = 2):
+    """Yield ``items`` with a bounded lookahead: the producer runs ``size``
+    elements ahead of the consumer. With elements that launch async work on
+    creation (jax.device_put), the in-flight work overlaps the consumer's
+    compute — classic double buffering at size=2."""
+    from collections import deque
+
+    buf = deque()
+    for item in items:
+        buf.append(item)
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def device_prefetch(batches, mesh: Mesh, size: int = 2):
     """Overlap host->device transfer with compute.
 
@@ -175,15 +191,7 @@ def device_prefetch(batches, mesh: Mesh, size: int = 2):
     equivalent in the reference has no device-side prefetch (scatter happens
     inside DataParallel at step time).
     """
-    from collections import deque
-
-    buf = deque()
-    for batch in batches:
-        buf.append(shard_batch(batch, mesh))
-        if len(buf) >= size:
-            yield buf.popleft()
-    while buf:
-        yield buf.popleft()
+    return staged((shard_batch(b, mesh) for b in batches), size)
 
 
 def jit_train_step(train_step, donate: bool = True):

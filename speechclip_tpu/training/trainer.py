@@ -299,7 +299,10 @@ class Trainer:
                 state, metrics = self._train_step(state, sharded)
                 step += 1
                 if profile_steps and step == int(profile_steps[1]):
-                    jax.block_until_ready(metrics)
+                    # a host fetch is the only reliable sync on the axon
+                    # platform (block_until_ready returns early there) —
+                    # without it stop_trace() truncates the device trace
+                    float(jax.device_get(metrics["train_loss"]))
                     jax.profiler.stop_trace()
                     logger.info("profiler trace written to %s", profile_dir)
                 if step % log_every == 0:
@@ -365,23 +368,19 @@ class Trainer:
         agg: Dict[str, List[float]] = {}
         ragged_metrics: Dict[str, float] = {}
 
-        def _prefetched(lookahead: int = 2):
+        def _prepared():
             # jax.device_put is async: staging the next batches onto the
             # mesh while the current eval step runs hides the H2D transfer
-            # (fit() already does this via device_prefetch; the eval loop
-            # was serial — measured H2D-bound end-to-end on the axon relay)
-            from collections import deque
-
-            buf = deque()
+            # on hardware with async transfers (fit() does the same via
+            # device_prefetch; on the axon relay H2D measures synchronous —
+            # no win, no harm, see DESIGN_NOTES round-2 eval budget)
             for batch in loader:
                 padded, n_valid = _pad_batch(batch, batch_size)
-                buf.append((shard_batch(padded, self.mesh), n_valid, batch))
-                if len(buf) >= lookahead:
-                    yield buf.popleft()
-            while buf:
-                yield buf.popleft()
+                yield shard_batch(padded, self.mesh), n_valid, batch
 
-        for sharded, n_valid, batch in _prefetched():
+        from .train_step import staged
+
+        for sharded, n_valid, batch in staged(_prepared()):
             out = self._eval_step(state, sharded)
             out = jax.device_get(out)
             rec = {
