@@ -297,6 +297,58 @@ class TestCLIPParity:
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
+    def test_encode_keywords_truncation_exact_gradients(self):
+        """The K+2 truncation must match the reference's full 77-token
+        buffer in the BACKWARD too (training differentiates through
+        encode_keywords into the VQ/keywords): under causal attention the
+        trailing pad positions attend backward but nothing reads their
+        outputs, so their gradient contribution to the keywords is zero."""
+        import jax
+
+        from speechclip_tpu.ops.basic import layer_norm as _ln_apply
+
+        model = make_hf_clip()
+        params = clip_from_hf(
+            {k: v.numpy() for k, v in model.state_dict().items()}, TINY_CLIP
+        )
+        k = 4
+        rng = np.random.default_rng(7)
+        keywords = jnp.asarray(
+            rng.standard_normal((2, k, TINY_CLIP.text.width)).astype(np.float32)
+        )
+
+        def full_buffer_ref(kw):
+            # the pre-truncation implementation: pad to the full context
+            b = kw.shape[0]
+            ctx = TINY_CLIP.text.context_length
+            emb = params["text"]["token_embedding"]
+            x = jnp.concatenate(
+                [
+                    jnp.broadcast_to(emb[62], (b, 1, kw.shape[-1])),
+                    kw,
+                    jnp.broadcast_to(emb[63], (b, 1, kw.shape[-1])),
+                    jnp.broadcast_to(emb[0], (b, ctx - k - 2, kw.shape[-1])),
+                ],
+                axis=1,
+            )
+            x = x + params["text"]["positional_embedding"]
+            x = clip_mod._text_transformer(params, TINY_CLIP, x)
+            x = _ln_apply(params["text"]["ln_final"], x)
+            return x[:, k + 1] @ params["text"]["text_projection"]
+
+        def truncated(kw):
+            return clip_mod.encode_keywords(
+                params, TINY_CLIP, kw, sot_id=62, eot_id=63
+            )
+
+        g_ref = jax.grad(lambda kw: jnp.sum(jnp.tanh(full_buffer_ref(kw))))(
+            keywords
+        )
+        g_new = jax.grad(lambda kw: jnp.sum(jnp.tanh(truncated(kw))))(keywords)
+        np.testing.assert_allclose(
+            np.asarray(g_new), np.asarray(g_ref), atol=1e-5
+        )
+
     def test_reduced_vocab(self, tmp_path):
         params = clip_mod.clip_init(jax.random.key(0), TINY_CLIP)
         ids = np.array([5, 10, 20, 62, 63, 1, 0, 2, 3])
