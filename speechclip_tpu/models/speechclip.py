@@ -109,6 +109,24 @@ def resolve_tower_configs(config: ConfigNode, upstream=_UNRESOLVED):
     return audio_cfg, _resolve_clip_cfg(config)
 
 
+def _resolve_asset_path(path: str) -> str:
+    """Resolve config-relative asset paths (e.g. the shipped
+    ``assets/{flickr,coco}_stat/*.npy`` reduced-vocab tables) against the
+    repo root when they don't exist relative to the CWD, so the six shipped
+    configs construct from a fresh checkout regardless of invocation
+    directory (reference configs use repo-relative paths the same way,
+    config/.../spchclp_p.yaml:94)."""
+    import os
+
+    if os.path.isabs(path) or os.path.exists(path):
+        return path
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    candidate = os.path.join(repo_root, path)
+    return candidate if os.path.exists(candidate) else path
+
+
 @dataclasses.dataclass
 class SpeechCLIPModel:
     """Host-side model description; all heavy math lives in pure methods."""
@@ -136,7 +154,9 @@ class SpeechCLIPModel:
         self.reduced_vocab = None
         reduce_path = cfg.clip.get("reduce_subword_embbedding")
         if reduce_path:
-            self.reduced_vocab = clip_mod.load_reduced_vocab(reduce_path)
+            self.reduced_vocab = clip_mod.load_reduced_vocab(
+                _resolve_asset_path(reduce_path)
+            )
         # CLIP vocab convention: SOT/EOT are the last two ids
         full_sot = self.clip_cfg.text.vocab_size - 2
         full_eot = self.clip_cfg.text.vocab_size - 1
