@@ -37,7 +37,12 @@ def compute_vocab_usage(texts: Iterable[str], tokenizer) -> np.ndarray:
     """
     counter: Counter = Counter()
     for text in texts:
-        ids = tokenizer.tokenize(text)[0]
+        # truncate=False: the reference stat script calls clip.tokenize with
+        # its default truncate=False and RAISES on >75-subword captions
+        # (stat_textCLIP_input.py:33), so a regenerated table is guaranteed
+        # row-identical to a reference-generated one on the same corpus
+        # rather than silently counting truncated buffers.
+        ids = tokenizer.tokenize(text, truncate=False)[0]
         counter.update(int(i) for i in ids)
     data = np.array(sorted(counter.items()), dtype=np.int64)
     return data
@@ -46,17 +51,28 @@ def compute_vocab_usage(texts: Iterable[str], tokenizer) -> np.ndarray:
 def save_vocab_usage(data: np.ndarray, output_dir: str) -> None:
     """Write byID/byfreq npy (+ readable txt) tables.
 
-    Row ordering reproduces the reference script's exact numpy operations
-    (stat_textCLIP_input.py:40-54): byID ascending by token id; byfreq via
-    ``arr[arr[:, 1].argsort()[::-1]]`` on the id-sorted array — including
-    its tie behavior — so a regenerated table is row-for-row compatible
-    with the shipped ones. (txt files are written as ints for readability;
-    the npy is the contract ``clip.reduce_subword_embbedding`` consumes.)
+    Row ordering: byID ascending by token id (reference
+    stat_textCLIP_input.py:53-54); byfreq descending by count with ties
+    broken by ascending id. The reference uses
+    ``arr[arr[:, 1].argsort()[::-1]]`` (:40-45) whose tie permutation is a
+    numpy-quicksort internals artifact — NOT reproducible across numpy
+    versions (verified: replaying the exact expression on the shipped byID
+    counts under numpy 2.x does not reproduce the shipped byfreq tie order).
+    We use a deterministic lexsort instead, which reproduces the layout
+    rows every consumer depends on — row 0 = pad, rows 2/3 = SOT/EOT (the
+    SOT/EOT counts tie and ascending-id ordering puts SOT first, matching
+    the shipped tables) — and is stable across environments. Because a
+    regenerated table can therefore differ from the SHIPPED one in
+    equal-count tail-row order (changing the original<->reduced id mapping
+    a trained checkpoint baked in), the shipped reference tables are
+    vendored in assets/{flickr,coco}_stat/ and regeneration is only for new
+    corpora. (txt files are written as ints for readability; the npy is the
+    contract ``clip.reduce_subword_embbedding`` consumes.)
     """
     os.makedirs(output_dir, exist_ok=True)
     data = data[data[:, 0].argsort()]
     by_id = data
-    by_freq = data[data[:, 1].argsort()[::-1]]
+    by_freq = data[np.lexsort((data[:, 0], -data[:, 1]))]
     np.save(os.path.join(output_dir, "text_clip_vocab_usage_byID.npy"), by_id)
     np.save(
         os.path.join(output_dir, "text_clip_vocab_usage_byfreq.npy"), by_freq

@@ -57,14 +57,30 @@ def bytes_to_unicode() -> dict:
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
+#: Lead markers that UTF-8-as-cp1252 mojibake virtually always contains:
+#: 2-byte sequences decode with lead 'Ã' (0xC3) or 'Â' (0xC2); the common
+#: 3-byte punctuation class (’ “ ” – …) decodes as 'â€'. Genuine accented
+#: prose ("café", "naïve") contains none of these, so gating on them keeps
+#: the repair from touching real text whose bytes coincidentally round-trip.
+_MOJIBAKE_MARKERS = ("Ã", "â€", "Â")
+
+
 def _fix_mojibake(text: str) -> str:
     """ftfy's core repair, dependency-free: text that was UTF-8 but got
     decoded as cp1252/latin-1 re-encodes byte-identically and decodes as
     valid UTF-8 — genuine text essentially never does (multi-byte UTF-8
     lead/continuation patterns are vanishingly rare in real cp1252 prose).
-    Two passes heal double-encoded UTF-8. NFC-normalize like ftfy does."""
+    Two passes heal double-encoded UTF-8. NFC-normalize like ftfy does.
+
+    The cp1252 re-decode only fires when a typical mojibake lead marker is
+    present (``_MOJIBAKE_MARKERS``) and logs at DEBUG when it rewrites, so
+    corpus-level false positives are observable; NFC normalization applies
+    unconditionally (matching ftfy.fix_text's default)."""
     import unicodedata
 
+    if not any(m in text for m in _MOJIBAKE_MARKERS):
+        return unicodedata.normalize("NFC", text)
+    original = text
     for _ in range(2):
         try:
             raw = text.encode("cp1252")
@@ -80,6 +96,12 @@ def _fix_mojibake(text: str) -> str:
         if fixed == text:
             break
         text = fixed
+    if text != original:
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "mojibake repair fired: %r -> %r", original, text
+        )
     return unicodedata.normalize("NFC", text)
 
 

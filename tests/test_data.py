@@ -311,11 +311,15 @@ class TestVocabStats:
         assert (tmp_path / "stat" / "text_clip_vocab_usage_byfreq.txt").exists()
 
     def test_layout_matches_reference_script(self, tmp_path):
-        """Row-for-row parity with the reference stat pipeline
+        """Layout parity with the reference stat pipeline
         (stat_textCLIP_input.py:31-54: tokenize -> flatten padded buffers ->
-        np.unique -> argsort orderings), computed here as an independent
-        oracle. A regenerated table must be interchangeable with a shipped
-        one — reduced-vocab checkpoints bake its row indices in."""
+        np.unique -> count orderings), computed here as an independent
+        oracle. Tie order within equal counts uses OUR deterministic rule
+        (descending count, ascending id) — the reference's own
+        ``argsort()[::-1]`` tie permutation is a numpy-quicksort internals
+        artifact that differs across numpy versions (see the
+        save_vocab_usage docstring; exact-shipped-table compatibility is
+        handled by vendoring in assets/, tests/test_vocab_tables.py)."""
         import numpy as _np
 
         from speechclip_tpu.data.vocab_stats import (
@@ -329,12 +333,12 @@ class TestVocabStats:
         tok = CLIPTokenizer(make_tiny_bpe(tmp_path / "merges.txt.gz"))
         texts = ["the thing of note", "in the thing", "of the era", "a thing"]
 
-        # oracle: the reference script's exact numpy transcript
+        # oracle: the reference script's numpy transcript, deterministic ties
         buffers = _np.stack([tok.tokenize(t)[0] for t in texts])
         flat = buffers.flatten()
         unique, counts = _np.unique(flat, return_counts=True)
         oracle = _np.asarray((unique, counts)).T
-        oracle_byfreq = oracle[oracle[:, 1].argsort()[::-1]]
+        oracle_byfreq = oracle[_np.lexsort((oracle[:, 0], -oracle[:, 1]))]
         oracle_byid = oracle[oracle[:, 0].argsort()]
 
         data = compute_vocab_usage(texts, tok)
@@ -375,12 +379,15 @@ class TestVocabStats:
 
         # "training-time" reduction: the reference persists
         # token_embedding.weight already reduced by its own byfreq table
-        # (clip_official.py:86); emulate with the oracle layout
+        # (clip_official.py:86); emulate with the oracle layout. Ties follow
+        # OUR deterministic rule — compat holds between checkpoints and
+        # tables produced by this pipeline; for the reference's RELEASED
+        # checkpoints, use the vendored shipped tables (assets/).
         full = _np.random.default_rng(0).standard_normal((tok.eot_id + 1, 8))
         buffers = _np.stack([tok.tokenize(t)[0] for t in texts])
         unique, counts = _np.unique(buffers.flatten(), return_counts=True)
         oracle = _np.asarray((unique, counts)).T
-        ckpt_table = full[oracle[oracle[:, 1].argsort()[::-1]][:, 0]]
+        ckpt_table = full[oracle[_np.lexsort((oracle[:, 0], -oracle[:, 1]))][:, 0]]
 
         # "load-time" reduction with the regenerated table
         params = {"text": {"token_embedding": jnp.asarray(full)}}
