@@ -15,6 +15,17 @@ those paths are caught round-over-round (VERDICT r1 weak #4):
   train_step_ms_b256         — full train step (fwd+bwd+Adam, both branches,
                                frozen towers) at batch 256
 
+Extras methodology (VERDICT r2 weak #1/#2): each number is AMORTIZED — an
+in-graph ``lax.fori_loop`` runs AMORTIZE_ITERS step bodies per dispatch
+(the body input depends on the loop carry so XLA cannot hoist it), so the
+axon relay's ~15-30 ms per-dispatch latency is divided by 8 instead of
+added to every step. The loop is re-dispatched REPS times post-warmup;
+the reported value is the median per-iteration time and
+``<key>_minmax`` carries [min, max] across reps so round-over-round
+deltas are distinguishable from relay noise. The headline also reports
+``headline_minmax_s`` over its 8 single-shot reps (at ~740 ms/shot the
+dispatch bias is <4%).
+
 vs_baseline normalizes against an estimated A100 PyTorch reference of
 250 utt/s/GPU for the same path (the reference publishes no throughput
 numbers — SURVEY.md §6; this constant is the documented assumption: fp16
@@ -37,18 +48,29 @@ WAV_LEN = 102400  # 6.4 s @ 16 kHz
 GALLERY = 5000
 STEPS = 8
 EXTRA_BATCH = 256
-EXTRA_STEPS = 4
+AMORTIZE_ITERS = 8  # in-graph fori_loop iterations per dispatch
+REPS = 5  # timed dispatches of the amortized loop (median + min/max)
 
 
 def _median_time(fn, steps):
     """fn must fetch a scalar to host (block_until_ready does not
-    synchronize on the axon tunnel)."""
+    synchronize on the axon tunnel). -> (median, [min, max]) seconds."""
     times = []
     for _ in range(steps):
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return float(np.median(times)), [float(min(times)), float(max(times))]
+
+
+def _amortized_time(fn):
+    """Median/min/max per-iteration seconds of an already-compiled fn whose
+    single dispatch runs AMORTIZE_ITERS step bodies in-graph."""
+    med, (lo, hi) = _median_time(fn, REPS)
+    return (
+        med / AMORTIZE_ITERS,
+        [lo / AMORTIZE_ITERS, hi / AMORTIZE_ITERS],
+    )
 
 
 def _make_wavs(rng, batch):
@@ -98,16 +120,15 @@ def headline():
         return jnp.sum(feat) + jnp.sum(top10).astype(jnp.float32)
 
     float(encode_and_retrieve(params, wav, wav_len, gallery))  # compile
-    med = _median_time(
+    med, minmax = _median_time(
         lambda: float(encode_and_retrieve(params, wav, wav_len, gallery)), STEPS
     )
-    return BATCH / med
+    return BATCH / med, minmax
 
 
 def encode_variant(variant):
-    """utt/s for a non-flagship encode path at EXTRA_BATCH (single-shot
-    timing: at >200 ms/batch the ~15-30 ms dispatch overhead is a small
-    pessimistic bias)."""
+    """(utt/s, [min, max] utt/s) for a non-flagship encode path at
+    EXTRA_BATCH, amortized over an in-graph fori_loop."""
     import jax
     import jax.numpy as jnp
 
@@ -136,23 +157,37 @@ def encode_variant(variant):
     rng = np.random.default_rng(0)
     wav, wav_len = _make_wavs(rng, EXTRA_BATCH)
 
-    @jax.jit
-    def encode(params, state, wav, wav_len):
+    def encode_once(params, state, wav, wav_len):
         out = model.encode_speech(params, state, wav, wav_len)
         feats = [
             v for k, v in out.items() if k.endswith("audio_feat") and v is not None
         ]
         return sum(jnp.sum(l2_normalize(f.astype(jnp.float32))) for f in feats)
 
-    float(encode(params, state, wav, wav_len))  # compile
-    med = _median_time(
-        lambda: float(encode(params, state, wav, wav_len)), EXTRA_STEPS
+    @jax.jit
+    def encode_loop(params, state, wav, wav_len):
+        # body input depends on the carry so XLA cannot hoist/dedupe bodies
+        def body(i, acc):
+            w = wav + (acc * 0).astype(wav.dtype)
+            return encode_once(params, state, w, wav_len) + i * 0.0
+
+        return jax.lax.fori_loop(0, AMORTIZE_ITERS, body, jnp.float32(0))
+
+    float(encode_loop(params, state, wav, wav_len))  # compile
+    med, minmax = _amortized_time(
+        lambda: float(encode_loop(params, state, wav, wav_len))
     )
-    return EXTRA_BATCH / med
+    return EXTRA_BATCH / med, [EXTRA_BATCH / minmax[1], EXTRA_BATCH / minmax[0]]
 
 
 def train_step_ms():
-    """Full training-step latency (ms) at batch 256, conv chunk off."""
+    """(ms, [min, max] ms) full training-step latency at batch 256,
+    amortized: an in-graph fori_loop chains AMORTIZE_ITERS real train steps
+    (state threads through the carry; wav is perturbed by the carry so the
+    bodies cannot be hoisted) — the methodology the round-2 VERDICT
+    prescribed so the driver-visible number matches
+    scripts/bench_train_budget.py instead of eating the relay's per-dispatch
+    latency on every step."""
     import jax
     import jax.numpy as jnp
 
@@ -161,7 +196,6 @@ def train_step_ms():
     from speechclip_tpu.training import (
         build_optimizer,
         create_train_state,
-        jit_train_step,
         make_train_step,
     )
 
@@ -181,17 +215,25 @@ def train_step_ms():
     tx, _ = build_optimizer(cfg, model.trainable_mask(params))
     del params
     state = create_train_state(model, tx, jax.random.key(1))
-    step = jit_train_step(make_train_step(model, tx))
+    train_step = make_train_step(model, tx)
 
-    state, metrics = step(state, batch_data)
-    float(metrics["train_loss"])  # compile + sync
+    @jax.jit
+    def multi_step(s, b):
+        def body(i, s):
+            b2 = dict(b)
+            b2["wav"] = b["wav"] + (0.0 * s.step).astype(b["wav"].dtype)
+            s2, _ = train_step(s, b2)
+            return s2
 
-    def one():
-        nonlocal state
-        state, metrics = step(state, batch_data)
-        float(metrics["train_loss"])
+        s_final = jax.lax.fori_loop(0, AMORTIZE_ITERS, body, s)
+        return (
+            jnp.sum(s_final.params["weighted_sum"]["weights"].astype(jnp.float32))
+            + s_final.step.astype(jnp.float32)
+        )
 
-    return _median_time(one, EXTRA_STEPS) * 1e3
+    float(multi_step(state, batch_data))  # compile + warm
+    med, minmax = _amortized_time(lambda: float(multi_step(state, batch_data)))
+    return med * 1e3, [minmax[0] * 1e3, minmax[1] * 1e3]
 
 
 def main():
@@ -208,7 +250,7 @@ def main():
         with open(os.path.join(os.path.dirname(__file__), "bench_last.json"), "w") as f:
             json.dump(result, f)
 
-    utt_per_sec = headline()
+    utt_per_sec, headline_minmax = headline()
     result = {
         "metric": "utterances_per_sec_per_chip_encode_retrieval",
         "value": round(utt_per_sec, 2),
@@ -217,7 +259,9 @@ def main():
     }
     checkpoint_result(result)
     if os.environ.get("SPEECHCLIP_BENCH_HEADLINE_ONLY") != "1":
-        extras = {}
+        extras = {
+            "headline_minmax_s": [round(v, 4) for v in headline_minmax],
+        }
         result["extras"] = extras
         for key, fn in [
             ("cascaded_base_utt_per_sec", lambda: encode_variant("base_casc")),
@@ -225,7 +269,9 @@ def main():
             ("train_step_ms_b256", train_step_ms),
         ]:
             try:
-                extras[key] = round(fn(), 2)
+                value, minmax = fn()
+                extras[key] = round(value, 2)
+                extras[key + "_minmax"] = [round(v, 2) for v in minmax]
             except Exception as e:  # a broken variant must not hide the headline
                 extras[key] = f"FAILED {type(e).__name__}: {str(e)[:120]}"
             checkpoint_result(result)
