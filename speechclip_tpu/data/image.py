@@ -8,6 +8,16 @@ transform the reference uses at avssl/data/flickr_dataset.py:32-36):
 - device path: decode to raw uint8 on host, batch-resize + normalize on
   device with jax.image.resize — the "audio/image front end fused into
   batched on-device transforms" item from BASELINE.json's north star.
+
+Measured divergence between the two paths (tests/test_image_divergence.py,
+8 synthetic photos at mixed aspect ratios, production ViT-B/32): max pixel
+delta 0.39 in normalized units (~0.10 of the 0-1 pixel range, concentrated
+at edges — the device path double-resizes: host BILINEAR to 256 then
+device bicubic to 224, vs one host BICUBIC to 224), mean pixel delta
+0.046, CLIP feature cosine ≥ 0.9996 (mean 0.9998), and identical
+nearest-image retrieval. The shipped eval configs keep the host path for
+bit-level val_loss parity; the ~2x eval-throughput knob
+(data.dataset.on_device_preprocess) is feature-level safe by these bounds.
 """
 
 from __future__ import annotations
