@@ -218,6 +218,102 @@ def apc_apply(
 
 
 # ---------------------------------------------------------------------------
+# CPC upstream — the HETEROGENEOUS witness (per-layer hidden sizes differ)
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class CPCConfig:
+    """CPC-style upstream (s3prl name ``modified_cpc``): a strided conv
+    encoder z followed by a GRU autoregressive context network c — the two
+    hidden states have DIFFERENT dims (z: conv_dim, c: context_dim), the
+    case the generic S3prlSpeechEncoderPlus contract must survive
+    (reference speech_encoder_plus.py:292-306: such upstreams cannot use
+    weighted_sum; feature selection is an index list / named key).
+    Real CPC geometry: conv strides (5, 4, 2, 2, 2) -> downsample 160."""
+
+    conv_dim: int = 512
+    context_dim: int = 256
+    conv_strides: tuple = (5, 4, 2, 2, 2)
+    conv_kernels: tuple = (10, 8, 4, 4, 4)
+    downsample_rate: int = S3PRL_DEFAULT_DOWNSAMPLE
+
+    @property
+    def encoder_embed_dim(self) -> int:
+        # out_dim of the LAST state (the probe contract probes the final
+        # state's dim, speech_encoder_plus.py:200-206)
+        return self.context_dim
+
+    @property
+    def num_hidden_states(self) -> int:
+        return 2  # (z, c)
+
+    @property
+    def hidden_state_dims(self) -> tuple:
+        return (self.conv_dim, self.context_dim)
+
+
+def cpc_init(rng: jax.Array, cfg: CPCConfig) -> Params:
+    keys = jax.random.split(rng, len(cfg.conv_strides) + 1)
+    convs = []
+    in_ch = 1
+    for i, (k, s) in enumerate(zip(cfg.conv_kernels, cfg.conv_strides)):
+        bound = 1.0 / math.sqrt(in_ch * k)
+        convs.append(
+            {
+                "w": jax.random.uniform(
+                    keys[i], (k, in_ch, cfg.conv_dim), jnp.float32, -bound, bound
+                ),
+                "b": jnp.zeros((cfg.conv_dim,), jnp.float32),
+            }
+        )
+        in_ch = cfg.conv_dim
+    gru = gru_layer_init(keys[-1], cfg.conv_dim, cfg.context_dim)
+    return {"convs": convs, "gru": gru}
+
+
+def cpc_apply(
+    params: Params,
+    cfg: CPCConfig,
+    wav: jnp.ndarray,  # (B, L)
+    wav_lengths: jnp.ndarray,  # (B,) int
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
+    """-> ((z (B, T, conv_dim), c (B, T, context_dim)), feat_len) —
+    heterogeneous per-layer dims."""
+    del rng, train
+    x = wav[:, :, None]  # (B, L, 1) NWC
+    for conv, k, s in zip(params["convs"], cfg.conv_kernels, cfg.conv_strides):
+        x = jax.lax.conv_general_dilated(
+            x,
+            conv["w"].astype(x.dtype),
+            window_strides=(s,),
+            padding=[(k // 2, k // 2)],  # SAME-ish: L_out = ceil(L/s)
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + conv["b"].astype(x.dtype)
+        x = jax.nn.relu(x)
+    z = x
+    c = gru_layer_apply(params["gru"], z)
+    feat_len = jnp.clip(
+        jnp.round(wav_lengths / cfg.downsample_rate).astype(jnp.int32),
+        0,
+        z.shape[1],
+    )
+    return (z, c), feat_len
+
+
+def _cpc_upstream(name: str, overrides: Optional[Dict] = None) -> Upstream:
+    cfg = CPCConfig(**(overrides or {}))
+    return Upstream(
+        name=name,
+        cfg=cfg,
+        init=lambda rng: cpc_init(rng, cfg),
+        apply=lambda params, wav, wav_len, rng=None, train=False: cpc_apply(
+            params, cfg, wav, wav_len, rng, train
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 @dataclasses.dataclass(frozen=True)
@@ -244,6 +340,7 @@ def _apc_upstream(name: str, overrides: Optional[Dict] = None) -> Upstream:
 
 _REGISTRY = {
     "apc": _apc_upstream,
+    "modified_cpc": _cpc_upstream,
 }
 
 
