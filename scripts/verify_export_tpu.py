@@ -1,0 +1,144 @@
+"""Drive the AOT StableHLO export artifacts on the REAL TPU backend.
+
+Guards the serving-export surface (speechclip_tpu/export.py) against
+platform-lowering regressions the CPU round-trip test (tests/test_export.py)
+cannot see: exports the three encoders on the ambient (axon) backend, loads
+each artifact via load_exported, runs one batch, checks finiteness, and
+reports per-call latency (single-shot; the relay adds ~15-30 ms dispatch —
+treat these as upper bounds, not throughput numbers).
+
+Default = TINY tower dims (both branches, kw-BN, VQ, reduced vocab — the
+full export code path at small constant size). Export bakes weights in as
+StableHLO constants, and this machine's remote-compile relay stalls/rejects
+multi-hundred-MB constant graphs (same class as the HTTP 413 closed-over-
+params limit, docs/DESIGN_NOTES.md) — a round-3 full-dims attempt produced
+no output in 50 min. Pass --full only in a real serving environment with a
+local compiler.
+
+Run: python scripts/verify_export_tpu.py [--full] [BATCH [WAV_SAMPLES]]
+(verify-skill step; tiny ~3-8 min on the relay.)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+args = [a for a in sys.argv[1:] if a != "--full"]
+FULL = "--full" in sys.argv[1:]
+BATCH = int(args[0]) if len(args) > 0 else 8
+WAV_SAMPLES = int(args[1]) if len(args) > 1 else 16000
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_config
+    from speechclip_tpu import export as export_mod
+    from speechclip_tpu.models.speechclip import SpeechCLIPModel
+
+    print(
+        f"backend: {jax.devices()[0].platform} x{len(jax.devices())} "
+        f"({'FULL' if FULL else 'tiny'} dims, batch {BATCH})",
+        flush=True,
+    )
+    cfg = _flagship_config()
+    if not FULL:
+        # the dryrun tiny towers: full export path, relay-sized constants
+        cfg.audio_encoder.custom = {
+            "conv_layers": [[16, 10, 5], [16, 3, 2], [16, 3, 2]],
+            "encoder_embed_dim": 32,
+            "encoder_layers": 2,
+            "encoder_ffn_dim": 64,
+            "encoder_heads": 4,
+            "downsample_rate": 20,
+        }
+        cfg.clip.custom = {
+            "vision": {
+                "image_size": 32,
+                "patch_size": 8,
+                "width": 32,
+                "layers": 2,
+                "heads": 4,
+                "output_dim": 16,
+            },
+            "text": {
+                "vocab_size": 64,
+                "width": 32,
+                "layers": 2,
+                "heads": 4,
+                "output_dim": 16,
+            },
+        }
+        for branch in ("parallel_branch", "cascaded_branch"):
+            cfg.model_settings[branch].transformer_args.d_model = 32
+            cfg.model_settings[branch].transformer_args.dim_feedforward = 64
+        cfg.model_settings.parallel_branch.transformer_args.nhead = 4
+        cfg.model_settings.cascaded_branch.keyword.number = 4
+    model = SpeechCLIPModel(cfg)
+    params, state = model.init(jax.random.key(0))
+
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((BATCH, WAV_SAMPLES)).astype(np.float32))
+    wav_len = jnp.asarray(np.full((BATCH,), WAV_SAMPLES, np.int32))
+    size = model.clip_cfg.vision.image_size
+    images = jnp.asarray(
+        rng.standard_normal((BATCH, size, size, 3)).astype(np.float32)
+    )
+    ctx = model.clip_cfg.text.context_length
+    text = np.zeros((BATCH, ctx), np.int32)
+    text[:, 0] = model.sot_id
+    text[:, 5] = model.eot_id
+    eots = jnp.asarray(np.full((BATCH,), 5, np.int32))
+
+    cases = [
+        (
+            "encode_speech",
+            lambda: export_mod.export_encode_speech(
+                model, params, state, BATCH, WAV_SAMPLES
+            ),
+            (wav, wav_len),
+        ),
+        (
+            "encode_image",
+            lambda: export_mod.export_encode_image(model, params, BATCH),
+            (images,),
+        ),
+        (
+            "encode_text",
+            lambda: export_mod.export_encode_text(model, params, BATCH),
+            (text, eots),
+        ),
+    ]
+    for name, exporter, call_args in cases:
+        t0 = time.perf_counter()
+        blob = exporter()
+        t_export = time.perf_counter() - t0
+        fn = export_mod.load_exported(blob)
+        t0 = time.perf_counter()
+        out = fn(*call_args)
+        leaves = jax.tree.leaves(out)
+        # scalar fetch is the only sync on the axon relay
+        checksum = float(
+            sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+        )
+        t_first = time.perf_counter() - t0  # includes platform compile
+        t0 = time.perf_counter()
+        out = fn(*call_args)
+        float(sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(out)))
+        t_warm = time.perf_counter() - t0
+        assert np.isfinite(checksum), name
+        print(
+            f"{name}: artifact {len(blob)/1e6:.1f} MB, export {t_export:.1f} s, "
+            f"first call (incl. compile) {t_first:.1f} s, warm call "
+            f"{t_warm*1e3:.1f} ms, checksum finite",
+            flush=True,
+        )
+    print("export TPU drive OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
