@@ -15,7 +15,10 @@ WITHOUT the model code, config system, or checkpoint machinery:
 Weights are baked into the artifact as constants (self-contained single
 file; the usual serving trade — artifact size for zero-dependency loads).
 Shapes are static per artifact, matching the bucketed-loader design: export
-one artifact per (batch, wav_len) serving shape.
+one artifact per (batch, wav_len) serving shape — or pass
+``polymorphic_batch=True`` (CLI ``--polymorphic-batch``) to make the batch
+dim symbolic via jax.export shape polymorphism, so ONE artifact serves any
+batch size (wav length / context stay static).
 
 TPU note: export with ``platforms=("tpu",)`` (the default when a TPU
 backend is live) compiles nothing at export time — StableHLO is lowered,
@@ -35,12 +38,25 @@ def _default_platforms() -> Tuple[str, ...]:
     return (jax.devices()[0].platform,)
 
 
-def _export_fn(fn, example_args, platforms):
+def _export_fn(fn, example_args, platforms, polymorphic_batch=False):
     from jax import export as jexport
 
-    specs = tuple(
-        jax.ShapeDtypeStruct(a.shape, a.dtype) for a in example_args
-    )
+    if polymorphic_batch:
+        # one artifact serves ANY batch size: leading dim becomes the
+        # symbolic "b" (jax.export shape polymorphism). The model's graphs
+        # are batch-size-agnostic (static T comes from wav_samples/ctx, not
+        # the batch), so this trades nothing but constant-folding
+        # opportunities in the serving compile.
+        scope = jexport.SymbolicScope()
+        (b,) = jexport.symbolic_shape("b", scope=scope)
+        specs = tuple(
+            jax.ShapeDtypeStruct((b,) + a.shape[1:], a.dtype)
+            for a in example_args
+        )
+    else:
+        specs = tuple(
+            jax.ShapeDtypeStruct(a.shape, a.dtype) for a in example_args
+        )
     exported = jexport.export(jax.jit(fn), platforms=list(platforms))(*specs)
     return bytes(exported.serialize())
 
@@ -52,8 +68,12 @@ def export_encode_speech(
     batch_size: int,
     wav_samples: int,
     platforms: Optional[Sequence[str]] = None,
+    polymorphic_batch: bool = False,
 ) -> bytes:
-    """Serialize ``model.encode_speech`` at a static (batch, wav) shape.
+    """Serialize ``model.encode_speech`` at a static (batch, wav) shape —
+    or, with ``polymorphic_batch=True``, with a symbolic batch dim so ONE
+    artifact serves any batch size (wav length stays static per artifact,
+    matching the bucketed-loader design).
 
     Returns the serialized artifact; write it to disk as-is. Params/state
     are captured as constants.
@@ -73,7 +93,7 @@ def export_encode_speech(
         jnp.zeros((batch_size, wav_samples), jnp.float32),
         jnp.zeros((batch_size,), jnp.int32),
     )
-    return _export_fn(fn, example, platforms)
+    return _export_fn(fn, example, platforms, polymorphic_batch)
 
 
 def export_encode_image(
@@ -81,6 +101,7 @@ def export_encode_image(
     params,
     batch_size: int,
     platforms: Optional[Sequence[str]] = None,
+    polymorphic_batch: bool = False,
 ) -> bytes:
     """Serialize the image tower (+ optional projection) for gallery
     encoding; input is normalized NHWC float32."""
@@ -91,7 +112,7 @@ def export_encode_image(
         return model.forward_image(params, images)
 
     example = (jnp.zeros((batch_size, size, size, 3), jnp.float32),)
-    return _export_fn(fn, example, platforms)
+    return _export_fn(fn, example, platforms, polymorphic_batch)
 
 
 def export_encode_text(
@@ -99,6 +120,7 @@ def export_encode_text(
     params,
     batch_size: int,
     platforms: Optional[Sequence[str]] = None,
+    polymorphic_batch: bool = False,
 ) -> bytes:
     """Serialize the text tower (reduced-vocab ids + EOT positions)."""
     platforms = tuple(platforms) if platforms else _default_platforms()
@@ -111,7 +133,7 @@ def export_encode_text(
         jnp.zeros((batch_size, ctx), jnp.int32),
         jnp.zeros((batch_size,), jnp.int32),
     )
-    return _export_fn(fn, example, platforms)
+    return _export_fn(fn, example, platforms, polymorphic_batch)
 
 
 def load_exported(blob: bytes) -> Callable:
@@ -137,6 +159,7 @@ def main():
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--wav-samples", type=int, default=102400)
     parser.add_argument("--platform", default=None)
+    parser.add_argument("--polymorphic-batch", action="store_true")
     args = parser.parse_args()
 
     if args.platform:
@@ -165,12 +188,18 @@ def main():
         model, params, state = restore_inference_state(config, args.ckpt)
 
     os.makedirs(args.out, exist_ok=True)
+    poly = args.polymorphic_batch
     blobs = {
         "encode_speech": export_encode_speech(
-            model, params, state, args.batch, args.wav_samples
+            model, params, state, args.batch, args.wav_samples,
+            polymorphic_batch=poly,
         ),
-        "encode_image": export_encode_image(model, params, args.batch),
-        "encode_text": export_encode_text(model, params, args.batch),
+        "encode_image": export_encode_image(
+            model, params, args.batch, polymorphic_batch=poly
+        ),
+        "encode_text": export_encode_text(
+            model, params, args.batch, polymorphic_batch=poly
+        ),
     }
     for name, blob in blobs.items():
         path = os.path.join(args.out, f"{name}.stablehlo")

@@ -83,3 +83,43 @@ class TestExport:
             np.asarray(model.forward_text(params, text, eots)),
             atol=1e-5,
         )
+
+    def test_polymorphic_batch_serves_multiple_sizes(self, model_and_state):
+        """One polymorphic artifact must serve several batch sizes and match
+        the direct call at each (jax.export shape polymorphism over the
+        leading dim; wav length stays static)."""
+        model, params, state = model_and_state
+        blob = export_encode_speech(
+            model, params, state, batch_size=2, wav_samples=2000,
+            platforms=("cpu",), polymorphic_batch=True,
+        )
+        fn = load_exported(blob)
+        rng = np.random.default_rng(2)
+        for b in (1, 3, 5):
+            wav = jnp.asarray(rng.standard_normal((b, 2000)).astype(np.float32))
+            wav_len = jnp.asarray(np.full((b,), 2000, np.int32))
+            got = fn(wav, wav_len)
+            want = model.encode_speech(params, state, wav, wav_len)
+            np.testing.assert_allclose(
+                np.asarray(got["parallel_audio_feat"]),
+                np.asarray(want["parallel_audio_feat"]),
+                atol=1e-5,
+                err_msg=f"batch {b}",
+            )
+
+        img_fn = load_exported(
+            export_encode_image(
+                model, params, batch_size=2, platforms=("cpu",),
+                polymorphic_batch=True,
+            )
+        )
+        for b in (1, 4):
+            images = jnp.asarray(
+                rng.standard_normal((b, 32, 32, 3)).astype(np.float32)
+            )
+            np.testing.assert_allclose(
+                np.asarray(img_fn(images)),
+                np.asarray(model.forward_image(params, images)),
+                atol=1e-5,
+                err_msg=f"batch {b}",
+            )
