@@ -57,12 +57,16 @@ def bytes_to_unicode() -> dict:
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
-#: Lead markers that UTF-8-as-cp1252 mojibake virtually always contains:
-#: 2-byte sequences decode with lead 'Ã' (0xC3) or 'Â' (0xC2); the common
-#: 3-byte punctuation class (’ “ ” – …) decodes as 'â€'. Genuine accented
-#: prose ("café", "naïve") contains none of these, so gating on them keeps
-#: the repair from touching real text whose bytes coincidentally round-trip.
-_MOJIBAKE_MARKERS = ("Ã", "â€", "Â")
+#: Lead markers of UTF-8-as-cp1252 mojibake: every multi-byte UTF-8
+#: sequence starts with a lead byte 0xC2-0xF4, whose cp1252 renderings are
+#: these characters ('Â' 'Ã' ... 'Ð' 'Ñ' for Cyrillic, 'â' for the 3-byte
+#: punctuation/currency class, etc. — all defined in cp1252). Gating on
+#: them skips the repair attempt for marker-free text; the attempt itself
+#: still only rewrites when the full byte sequence round-trips as valid
+#: UTF-8, so plain accented prose ("café") is untouched either way — the
+#: gate just removes the encode/decode work and the residual risk of
+#: coincidental round-trips in marker-free captions.
+_MOJIBAKE_MARKERS = tuple(bytes([b]).decode("cp1252") for b in range(0xC2, 0xF5))
 
 
 def _fix_mojibake(text: str) -> str:

@@ -62,7 +62,14 @@ import pytest
 
 @pytest.fixture(autouse=True)
 def _require_native_build(request):
-    """Fail (not skip) native-path tests when the conftest build failed,
-    without taking down collection of the rest of the suite."""
-    if _NATIVE_BUILD_ERROR and "test_native" in request.node.nodeid:
-        pytest.fail(_NATIVE_BUILD_ERROR)
+    """Fail (not skip) native-path tests when the native lib is missing,
+    without taking down collection of the rest of the suite. tests/
+    test_native.py carries no skip mark — after the conftest build step,
+    an absent lib means the build FAILED and must be loud."""
+    if "test_native" in request.node.nodeid:
+        if _NATIVE_BUILD_ERROR:
+            pytest.fail(_NATIVE_BUILD_ERROR)
+        if not os.path.exists(os.path.join(_REPO, "native", "libwavio.so")):
+            pytest.fail(
+                "native/libwavio.so is absent after the conftest build step"
+            )

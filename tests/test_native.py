@@ -1,14 +1,16 @@
-"""Native ingest library tests (skipped when libwavio.so is not built)."""
+"""Native ingest library tests.
+
+No skip mark: conftest builds libwavio.so whenever it is absent, so by the
+time this module runs the lib is either available or the build FAILED — and
+a failed build must fail these tests loudly (the conftest autouse fixture
+_require_native_build reports the build error), never skip them silently.
+"""
 
 import numpy as np
 import pytest
 
 from speechclip_tpu.data import native, read_wav, wav_num_samples
 from tests.test_data import write_wav
-
-pytestmark = pytest.mark.skipif(
-    not native.available(), reason="native/libwavio.so not built"
-)
 
 
 class TestNativeWavio:

@@ -10,8 +10,13 @@ not code), and these tests pin:
      byfreq rows 0/2/3 = pad/SOT/EOT — the VQ's default prob_msk=(0,2,3),
      my_vector_quantizer.py:78-79);
   2. that data/vocab_stats.py's regeneration pipeline reproduces the shipped
-     byfreq row order EXACTLY from the shipped byID counts (including numpy
-     argsort tie behavior, stat_textCLIP_input.py:40-54);
+     tables' LAYOUT from the shipped byID counts — identical byID table,
+     identical counts column, identical id-set per count group, exact
+     pad/SOT/EOT head rows. Exact TAIL tie order is deliberately not
+     reproduced: the shipped order is a numpy-quicksort internals artifact
+     (see save_vocab_usage), which is precisely why the shipped tables are
+     vendored — a regenerated table is NOT interchangeable with a
+     reference-trained checkpoint;
   3. that all six shipped configs construct a SpeechCLIPModel with the real
      table from a fresh checkout (the r2 gap: construction crashed on the
      missing npy before datasets were even touched).
