@@ -69,6 +69,7 @@ class BucketedLoader:
         drop_last: Optional[bool] = None,
         num_bucket_groups: int = 4,
         compact_wav: bool = False,
+        skip_images: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -80,6 +81,9 @@ class BucketedLoader:
         # ship wav as int16 PCM (half the H2D bytes; the model rescales on
         # device). Exact for PCM16 sources: f32 = pcm/32768 round-trips.
         self.compact_wav = compact_wav
+        # don't decode/ship images at all (trainer.cache_image_features:
+        # the trainer swaps in precomputed frozen-tower features per batch)
+        self.skip_images = skip_images
         self.epoch = 0
 
         self._lengths = np.array(
@@ -198,6 +202,7 @@ class BucketedLoader:
             # (native/jpegio.cc) instead of per-sample PIL
             native_jpeg = (
                 "image" in entries[0]
+                and not self.skip_images
                 and getattr(self.dataset, "image_mode", None) == "raw"
                 and native_mod.has_jpeg()
                 and all(
@@ -219,7 +224,9 @@ class BucketedLoader:
             if "image" in entries[0] or "text" in entries[0]:
                 samples = [
                     self.dataset.get_item(
-                        int(i), skip_wav=True, skip_image=native_jpeg
+                        int(i),
+                        skip_wav=True,
+                        skip_image=native_jpeg or self.skip_images,
                     )
                     for i in indices
                 ]

@@ -397,12 +397,19 @@ class SpeechCLIPModel:
             return feat, feat_len, hidden_states
         return feat, feat_len
 
-    def forward_image(
-        self, params: Params, images: jnp.ndarray, rng=None, train: bool = False
+    def encode_image_tower(
+        self, params: Params, images: jnp.ndarray
     ) -> jnp.ndarray:
-        """(reference forward_image :504-527 + optional MLP projection
-        :1400-1402). uint8 input takes the batched on-device resize+normalize
-        path (data/image.py device_clip_preprocess)."""
+        """The (frozen unless configured otherwise) CLIP image tower alone —
+        no trainable projection. uint8 input takes the batched on-device
+        resize+normalize path (data/image.py device_clip_preprocess).
+
+        Split out so the trainer can PRECOMPUTE these features once per fit
+        when ``trainer.cache_image_features`` is set: the tower is frozen
+        and the reference applies no image augmentation (its preprocess is
+        deterministic, clip_official.py:160-164), so per-step recomputation
+        is pure waste — ~14 ms/step of ViT forward and the whole image H2D
+        stream at b256."""
         if images.dtype == jnp.uint8:
             from ..data.image import device_clip_preprocess
 
@@ -411,9 +418,16 @@ class SpeechCLIPModel:
             )
         images = images.astype(self.compute_dtype)
         feat = clip_mod.encode_image(params["clip"], self.clip_cfg, images)
-        feat = jax.lax.stop_gradient(feat) if not self.config.clip.get(
+        return jax.lax.stop_gradient(feat) if not self.config.clip.get(
             "image_encoder_trainable", False
         ) else feat
+
+    def project_image_feat(
+        self, params: Params, feat: jnp.ndarray, rng=None, train: bool = False
+    ) -> jnp.ndarray:
+        """The TRAINABLE tail of the image path (optional MLP projection,
+        reference :1148-1187) — applied per step even when the frozen tower
+        output comes from the cache."""
         if "img_enc_proj" in params:
             proj_cfg = self.config.model_settings.image_encoder_projection
             feat = mlp_apply(
@@ -424,6 +438,15 @@ class SpeechCLIPModel:
                 train=train,
             )
         return feat
+
+    def forward_image(
+        self, params: Params, images: jnp.ndarray, rng=None, train: bool = False
+    ) -> jnp.ndarray:
+        """(reference forward_image :504-527 + optional MLP projection
+        :1400-1402)."""
+        return self.project_image_feat(
+            params, self.encode_image_tower(params, images), rng=rng, train=train
+        )
 
     def forward_text(
         self,
@@ -460,9 +483,21 @@ class SpeechCLIPModel:
         audio_feat, audio_len = self.forward_audio(
             params, batch["wav"], batch["wav_len"], rng=r_audio, train=train
         )
-        image_feat = self.forward_image(
-            params, batch["image"], rng=r_img, train=train
-        )
+        if "image_feat_frozen" in batch:
+            # trainer-cached frozen-tower features (trainer.cache_image_
+            # features): the tower ran once per fit; only the trainable
+            # projection runs per step. Mathematically the computation the
+            # reference performs every step — memoized.
+            image_feat = self.project_image_feat(
+                params,
+                batch["image_feat_frozen"].astype(self.compute_dtype),
+                rng=r_img,
+                train=train,
+            )
+        else:
+            image_feat = self.forward_image(
+                params, batch["image"], rng=r_img, train=train
+            )
 
         cascaded_audio_feat = None
         parallel_audio_feat = None

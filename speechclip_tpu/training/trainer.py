@@ -170,6 +170,20 @@ class Trainer:
             self.config.get_path("data.dataset.on_device_preprocess", False)
         )
 
+    def _cache_image_features(self) -> bool:
+        # precompute the frozen image tower once per fit (the tower is
+        # frozen and the preprocess deterministic — see
+        # SpeechCLIPModel.encode_image_tower). Invalid with a trainable
+        # image tower, so refuse loudly rather than silently stale-cache.
+        enabled = bool(
+            self.config.get_path("trainer.cache_image_features", False)
+        )
+        if enabled and self.config.get_path("clip.image_encoder_trainable", False):
+            raise ValueError(
+                "trainer.cache_image_features requires a frozen image tower"
+            )
+        return enabled
+
     def build_loaders(self):
         data_cfg = self.config.data
         image_size = self.model.clip_cfg.vision.image_size
@@ -186,8 +200,50 @@ class Trainer:
             max_audio_len=max_audio_len,
             seed=self.seed,
             compact_wav=self._compact_wav(),
+            # with the per-fit image-feature cache the train loader never
+            # decodes or ships images (the eval loader still does)
+            skip_images=self._cache_image_features(),
         )
         return train_loader, self.build_eval_loader("dev")
+
+    def build_image_feature_cache(self, dataset, params) -> tuple:
+        """-> (feats (n_unique, out_dim) f32 ndarray, id -> row dict).
+
+        One pass of the frozen image tower over the dataset's unique images
+        (one image per pair id; the 5-captions-per-image layout means a
+        naive per-step recompute does the same ViT work 5x per epoch AND
+        re-ships every image every step). Fixed-size chunks with a padded
+        tail keep it to ONE jit specialization."""
+        first_index_of_id: Dict[int, int] = {}
+        for i, entry in enumerate(dataset.data):
+            if "image" in entry and entry["id"] not in first_index_of_id:
+                first_index_of_id[entry["id"]] = i
+        ids = sorted(first_index_of_id)
+        tower = jax.jit(self.model.encode_image_tower)
+
+        chunk = 64
+        feats = []
+        for lo in range(0, len(ids), chunk):
+            part = ids[lo : lo + chunk]
+            imgs = np.stack(
+                [
+                    dataset.get_item(
+                        first_index_of_id[i], skip_wav=True
+                    )["image"]
+                    for i in part
+                ]
+            )
+            if len(part) < chunk:  # pad the tail to the one compiled shape
+                pad = np.repeat(imgs[:1], chunk - len(part), axis=0)
+                imgs = np.concatenate([imgs, pad], axis=0)
+            out = jax.device_get(tower(params, jnp.asarray(imgs)))
+            feats.append(np.asarray(out[: len(part)], np.float32))
+        cache = np.concatenate(feats, axis=0)
+        logger.info(
+            "image-feature cache: %d unique images -> (%d, %d) f32 (%.1f MB)",
+            len(ids), *cache.shape, cache.nbytes / 1e6,
+        )
+        return cache, {pair_id: row for row, pair_id in enumerate(ids)}
 
     def prepare_restore_target(self, ckpt_path: str, state: TrainState) -> TrainState:
         """Slim checkpoints exclude frozen towers: populate them from the
@@ -263,6 +319,13 @@ class Trainer:
         state = place_state(state, self.mesh)
 
         train_loader, dev_loader = self.build_loaders()
+
+        image_cache = id2row = None
+        if self._cache_image_features():
+            image_cache, id2row = self.build_image_feature_cache(
+                train_loader.dataset, state.params
+            )
+
         max_steps = int(self.config.get_path("trainer.max_steps", 50000))
         log_every = int(self.config.get_path("trainer.log_every_n_steps", 8))
         val_every_epoch = int(
@@ -291,6 +354,15 @@ class Trainer:
                 for b in loader:
                     if len(b["id"]) % self.n_data != 0:
                         continue  # ragged trailing batch (drop_last default)
+                    if image_cache is not None:
+                        b = dict(b)
+                        rows = np.fromiter(
+                            (id2row[int(i)] for i in b["id"]),
+                            np.int64,
+                            len(b["id"]),
+                        )
+                        b["image_feat_frozen"] = image_cache[rows]
+                        b.pop("image", None)
                     yield b
 
             for sharded in device_prefetch(_whole_batches(), self.mesh):
