@@ -180,14 +180,19 @@ def encode_variant(variant):
     return EXTRA_BATCH / med, [EXTRA_BATCH / minmax[1], EXTRA_BATCH / minmax[0]]
 
 
-def train_step_ms():
+def train_step_ms(cache_images=False):
     """(ms, [min, max] ms) full training-step latency at batch 256,
     amortized: an in-graph fori_loop chains AMORTIZE_ITERS real train steps
     (state threads through the carry; wav is perturbed by the carry so the
     bodies cannot be hoisted) — the methodology the round-2 VERDICT
     prescribed so the driver-visible number matches
     scripts/bench_train_budget.py instead of eating the relay's per-dispatch
-    latency on every step."""
+    latency on every step.
+
+    cache_images=True measures the trainer.cache_image_features operating
+    point: the frozen ViT features ride in the batch and only the trainable
+    path runs per step (docs/DESIGN_NOTES.md "Per-fit image-feature
+    cache")."""
     import jax
     import jax.numpy as jnp
 
@@ -217,6 +222,14 @@ def train_step_ms():
     state = create_train_state(model, tx, jax.random.key(1))
     train_step = make_train_step(model, tx)
 
+    if cache_images:
+        feat = jax.jit(model.encode_image_tower)(
+            state.params, batch_data["image"]
+        )
+        batch_data = dict(batch_data)
+        batch_data["image_feat_frozen"] = feat.astype(jnp.float32)
+        del batch_data["image"]
+
     @jax.jit
     def multi_step(s, b):
         def body(i, s):
@@ -237,6 +250,36 @@ def train_step_ms():
 
 
 def main():
+    # fail FAST with a parseable line if the TPU tunnel is unreachable:
+    # jax.devices() HANGS (no exception) during axon outages (observed
+    # round 3, >90 min), which would otherwise eat the whole driver budget
+    import sys
+    import threading
+
+    probe_ok = []
+
+    def _probe():
+        import jax as _jax
+
+        probe_ok.append(len(_jax.devices()))
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(float(os.environ.get("SPEECHCLIP_BENCH_BACKEND_TIMEOUT", "600")))
+    if not probe_ok:
+        print(
+            json.dumps(
+                {
+                    "metric": "utterances_per_sec_per_chip_encode_retrieval",
+                    "value": 0,
+                    "unit": "ERROR: TPU backend unreachable (jax.devices() "
+                    "hung past the probe timeout)",
+                    "vs_baseline": 0,
+                }
+            )
+        )
+        sys.exit(1)
+
     # production configuration: the shipped configs set trainer.fast_rng
     # (rbg PRNG — dropout masks ~28 ms/step cheaper than threefry at b256);
     # must be set before any key is created, hence here
@@ -267,6 +310,10 @@ def main():
             ("cascaded_base_utt_per_sec", lambda: encode_variant("base_casc")),
             ("hubert_large_utt_per_sec", lambda: encode_variant("large_par")),
             ("train_step_ms_b256", train_step_ms),
+            (
+                "train_step_ms_b256_imgcache",
+                lambda: train_step_ms(cache_images=True),
+            ),
         ]:
             try:
                 value, minmax = fn()

@@ -56,7 +56,13 @@ def _pad_batch(batch: Dict[str, np.ndarray], size: int):
     out = {}
     for k, v in batch.items():
         pad_width = [(0, size - n)] + [(0, 0)] * (v.ndim - 1)
-        out[k] = np.pad(v, pad_width)
+        # cached frozen features pad by EDGE replication: a zero feature
+        # row would l2_normalize to NaN inside forward (zero pixels, by
+        # contrast, produce a real tower output). Dummy rows are trimmed
+        # from features either way; this only keeps all-ragged loss
+        # metrics finite.
+        mode = "edge" if k == "image_feat_frozen" else "constant"
+        out[k] = np.pad(v, pad_width, mode=mode)
     # padded ids must not collide with real pair ids in the loss mask
     out["id"][n:] = -np.arange(1, size - n + 1)
     return out, n
@@ -161,6 +167,9 @@ class Trainer:
             train=False,
             seed=self.seed,
             compact_wav=self._compact_wav(),
+            # with the image-feature cache validation also consumes cached
+            # frozen features (computed once, reused every epoch)
+            skip_images=self._cache_image_features(),
         )
 
     def _compact_wav(self) -> bool:
@@ -440,6 +449,20 @@ class Trainer:
         agg: Dict[str, List[float]] = {}
         ragged_metrics: Dict[str, float] = {}
 
+        img_cache = id2row = None
+        if self._cache_image_features():
+            # the tower is frozen: one pass per dataset, reused across the
+            # per-epoch validations of a fit
+            caches = getattr(self, "_eval_img_caches", None)
+            if caches is None:
+                caches = self._eval_img_caches = {}
+            key = id(loader.dataset)
+            if key not in caches:
+                caches[key] = self.build_image_feature_cache(
+                    loader.dataset, state.params
+                )
+            img_cache, id2row = caches[key]
+
         def _prepared():
             # jax.device_put is async: staging the next batches onto the
             # mesh while the current eval step runs hides the H2D transfer
@@ -447,6 +470,15 @@ class Trainer:
             # device_prefetch; on the axon relay H2D measures synchronous —
             # no win, no harm, see DESIGN_NOTES round-2 eval budget)
             for batch in loader:
+                if img_cache is not None:
+                    batch = dict(batch)
+                    rows = np.fromiter(
+                        (id2row[int(i)] for i in batch["id"]),
+                        np.int64,
+                        len(batch["id"]),
+                    )
+                    batch["image_feat_frozen"] = img_cache[rows]
+                    batch.pop("image", None)
                 padded, n_valid = _pad_batch(batch, batch_size)
                 yield shard_batch(padded, self.mesh), n_valid, batch
 

@@ -77,7 +77,8 @@ class TestTrainerWithImageCache:
         (tolerance covers XLA fusion differences between the standalone
         tower jit and the fused train step), and the cached train loader
         must not carry images at all."""
-        losses = {}
+        trained = {}
+        recalls = {}
         for cached in (False, True):
             cfg = copy.deepcopy(trainer_config)
             cfg.trainer.default_root_dir = str(tmp_path / f"run{int(cached)}")
@@ -88,6 +89,23 @@ class TestTrainerWithImageCache:
                 batch = next(iter(train_loader))
                 assert "image" not in batch  # loader ships no pixels
             state = trainer.fit()
+            trained[cached] = jax.device_get(
+                {
+                    "ws": state.params["weighted_sum"]["weights"],
+                    "proj": state.params["parallel_branch"]["proj"]["w"],
+                }
+            )
             metrics = trainer.validate(state, trainer.build_eval_loader("dev"))
-            losses[cached] = metrics["val_loss"]
-        np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4)
+            recalls[cached] = metrics["val_recall_mean_10"]
+
+        # the trained parameters must track each other (tolerance covers
+        # XLA fusion differences between the standalone tower jit and the
+        # fused train step; val_loss is NOT compared — the tiny all-ragged
+        # dev set pads dummy rows whose contamination differs by pad style)
+        np.testing.assert_allclose(
+            trained[True]["ws"], trained[False]["ws"], rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            trained[True]["proj"], trained[False]["proj"], rtol=1e-3, atol=1e-6
+        )
+        assert recalls[True] == recalls[False]
