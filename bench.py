@@ -256,28 +256,36 @@ def main():
     import sys
     import threading
 
-    probe_ok = []
+    probe_result = []
 
     def _probe():
-        import jax as _jax
+        try:
+            import jax as _jax
 
-        probe_ok.append(len(_jax.devices()))
+            probe_result.append(("ok", len(_jax.devices())))
+        except Exception as e:  # distinguish init errors from hangs
+            probe_result.append(("err", f"{type(e).__name__}: {e}"))
 
     t = threading.Thread(target=_probe, daemon=True)
     t.start()
     t.join(float(os.environ.get("SPEECHCLIP_BENCH_BACKEND_TIMEOUT", "600")))
-    if not probe_ok:
-        print(
-            json.dumps(
-                {
-                    "metric": "utterances_per_sec_per_chip_encode_retrieval",
-                    "value": 0,
-                    "unit": "ERROR: TPU backend unreachable (jax.devices() "
-                    "hung past the probe timeout)",
-                    "vs_baseline": 0,
-                }
-            )
+    if not probe_result or probe_result[0][0] == "err":
+        detail = (
+            probe_result[0][1]
+            if probe_result
+            else "jax.devices() hung past the probe timeout"
         )
+        error = {
+            "metric": "utterances_per_sec_per_chip_encode_retrieval",
+            "value": 0,
+            "unit": f"ERROR: TPU backend unreachable ({detail})",
+            "vs_baseline": 0,
+        }
+        with open(
+            os.path.join(os.path.dirname(__file__), "bench_last.json"), "w"
+        ) as f:
+            json.dump(error, f)
+        print(json.dumps(error))
         sys.exit(1)
 
     # production configuration: the shipped configs set trainer.fast_rng

@@ -233,7 +233,10 @@ class BucketedLoader:
             else:
                 samples = [{} for _ in indices]
         else:
-            samples = [self.dataset[int(i)] for i in indices]
+            samples = [
+                self.dataset.get_item(int(i), skip_image=self.skip_images)
+                for i in indices
+            ]
             batch = {
                 "wav": np.zeros((n, bucket_len), np.float32),
                 "wav_len": np.zeros((n,), np.int32),

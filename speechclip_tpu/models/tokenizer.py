@@ -57,16 +57,23 @@ def bytes_to_unicode() -> dict:
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
-#: Lead markers of UTF-8-as-cp1252 mojibake: every multi-byte UTF-8
-#: sequence starts with a lead byte 0xC2-0xF4, whose cp1252 renderings are
-#: these characters ('Â' 'Ã' ... 'Ð' 'Ñ' for Cyrillic, 'â' for the 3-byte
-#: punctuation/currency class, etc. — all defined in cp1252). Gating on
-#: them skips the repair attempt for marker-free text; the attempt itself
-#: still only rewrites when the full byte sequence round-trips as valid
-#: UTF-8, so plain accented prose ("café") is untouched either way — the
-#: gate just removes the encode/decode work and the residual risk of
-#: coincidental round-trips in marker-free captions.
-_MOJIBAKE_MARKERS = tuple(bytes([b]).decode("cp1252") for b in range(0xC2, 0xF5))
+#: UTF-8-as-cp1252 mojibake gating. Every multi-byte UTF-8 sequence starts
+#: with a lead byte 0xC2-0xF4; its cp1252 renderings are the LEAD class
+#: below ('Â' 'Ã' ... 'Ð' 'Ñ' for Cyrillic, 'â' for 3-byte punctuation,
+#: accented letters like 'ß' 'é' too). The repair fires when either
+#:   (a) a CLASSIC marker appears — 'Ã'/'Â' (Latin-1-range 2-byte leads)
+#:       or 'â' (3-byte E2 class: smart quotes, dashes, '€') — these are
+#:       virtually never sentence text themselves; or
+#:   (b) at least TWO lead-class characters appear — genuine prose like
+#:       "Spaß”" has exactly one accented letter adjacent to a
+#:       continuation-range char and must NOT be "repaired" even though
+#:       its bytes coincidentally decode as valid UTF-8, while real
+#:       mojibake of any multi-char word carries one lead per original
+#:       character ("ÐŸÑ€Ð¸Ð²ÐµÑ‚" has six).
+_MOJIBAKE_CLASSIC = ("Ã", "Â", "â")
+_MOJIBAKE_LEADS = frozenset(
+    bytes([b]).decode("cp1252") for b in range(0xC2, 0xF5)
+)
 
 
 def _fix_mojibake(text: str) -> str:
@@ -76,13 +83,18 @@ def _fix_mojibake(text: str) -> str:
     lead/continuation patterns are vanishingly rare in real cp1252 prose).
     Two passes heal double-encoded UTF-8. NFC-normalize like ftfy does.
 
-    The cp1252 re-decode only fires when a typical mojibake lead marker is
-    present (``_MOJIBAKE_MARKERS``) and logs at DEBUG when it rewrites, so
-    corpus-level false positives are observable; NFC normalization applies
-    unconditionally (matching ftfy.fix_text's default)."""
+    The cp1252 re-decode only fires when the marker heuristic says the text
+    looks like mojibake (classic marker, or >= 2 lead-class chars — see
+    ``_MOJIBAKE_CLASSIC``/``_MOJIBAKE_LEADS``) and logs at DEBUG when it
+    rewrites, so corpus-level false positives are observable; NFC
+    normalization applies unconditionally (matching ftfy.fix_text's
+    default)."""
     import unicodedata
 
-    if not any(m in text for m in _MOJIBAKE_MARKERS):
+    looks_mojibake = any(m in text for m in _MOJIBAKE_CLASSIC) or (
+        sum(c in _MOJIBAKE_LEADS for c in text) >= 2
+    )
+    if not looks_mojibake:
         return unicodedata.normalize("NFC", text)
     original = text
     for _ in range(2):

@@ -49,6 +49,19 @@ from .train_step import (
 logger = logging.getLogger(__name__)
 
 
+def _inject_cached_image_feats(batch, cache, id2row):
+    """Swap pixels for precomputed frozen-tower features (trainer.
+    cache_image_features): gather the batch's rows from the host cache by
+    pair id. Fancy indexing copies, so donation/prefetch see fresh arrays."""
+    batch = dict(batch)
+    rows = np.fromiter(
+        (id2row[int(i)] for i in batch["id"]), np.int64, len(batch["id"])
+    )
+    batch["image_feat_frozen"] = cache[rows]
+    batch.pop("image", None)
+    return batch
+
+
 def _pad_batch(batch: Dict[str, np.ndarray], size: int):
     n = len(batch["id"])
     if n == size:
@@ -230,23 +243,29 @@ class Trainer:
         ids = sorted(first_index_of_id)
         tower = jax.jit(self.model.encode_image_tower)
 
+        from concurrent.futures import ThreadPoolExecutor
+
         chunk = 64
         feats = []
+        pool = ThreadPoolExecutor(max_workers=8)  # PIL decode is GIL-releasing
         for lo in range(0, len(ids), chunk):
             part = ids[lo : lo + chunk]
             imgs = np.stack(
-                [
-                    dataset.get_item(
-                        first_index_of_id[i], skip_wav=True
-                    )["image"]
-                    for i in part
-                ]
+                list(
+                    pool.map(
+                        lambda i: dataset.get_item(
+                            first_index_of_id[i], skip_wav=True
+                        )["image"],
+                        part,
+                    )
+                )
             )
             if len(part) < chunk:  # pad the tail to the one compiled shape
                 pad = np.repeat(imgs[:1], chunk - len(part), axis=0)
                 imgs = np.concatenate([imgs, pad], axis=0)
             out = jax.device_get(tower(params, jnp.asarray(imgs)))
             feats.append(np.asarray(out[: len(part)], np.float32))
+        pool.shutdown()
         cache = np.concatenate(feats, axis=0)
         logger.info(
             "image-feature cache: %d unique images -> (%d, %d) f32 (%.1f MB)",
@@ -364,14 +383,7 @@ class Trainer:
                     if len(b["id"]) % self.n_data != 0:
                         continue  # ragged trailing batch (drop_last default)
                     if image_cache is not None:
-                        b = dict(b)
-                        rows = np.fromiter(
-                            (id2row[int(i)] for i in b["id"]),
-                            np.int64,
-                            len(b["id"]),
-                        )
-                        b["image_feat_frozen"] = image_cache[rows]
-                        b.pop("image", None)
+                        b = _inject_cached_image_feats(b, image_cache, id2row)
                     yield b
 
             for sharded in device_prefetch(_whole_batches(), self.mesh):
@@ -451,17 +463,35 @@ class Trainer:
 
         img_cache = id2row = None
         if self._cache_image_features():
-            # the tower is frozen: one pass per dataset, reused across the
-            # per-epoch validations of a fit
+            # the tower is frozen: one pass per (dataset, tower weights),
+            # reused across the per-epoch validations of a fit. The key
+            # fingerprints the tower (a cheap leaf checksum — donation can
+            # recreate even frozen arrays, so object identity is useless)
+            # and the cache entry holds the dataset strongly so a GC'd
+            # dataset cannot recycle its id() onto a different split.
             caches = getattr(self, "_eval_img_caches", None)
             if caches is None:
                 caches = self._eval_img_caches = {}
-            key = id(loader.dataset)
-            if key not in caches:
-                caches[key] = self.build_image_feature_cache(
-                    loader.dataset, state.params
+            tower_sig = float(
+                jax.device_get(
+                    jnp.sum(
+                        state.params["clip"]["visual"][
+                            "class_embedding"
+                        ].astype(jnp.float32)
+                    )
                 )
-            img_cache, id2row = caches[key]
+            )
+            key = (id(loader.dataset), tower_sig)
+            if key not in caches:
+                if len(caches) > 4:  # bound growth across many validates
+                    caches.clear()
+                caches[key] = (
+                    loader.dataset,
+                    *self.build_image_feature_cache(
+                        loader.dataset, state.params
+                    ),
+                )
+            _, img_cache, id2row = caches[key]
 
         def _prepared():
             # jax.device_put is async: staging the next batches onto the
@@ -471,14 +501,7 @@ class Trainer:
             # no win, no harm, see DESIGN_NOTES round-2 eval budget)
             for batch in loader:
                 if img_cache is not None:
-                    batch = dict(batch)
-                    rows = np.fromiter(
-                        (id2row[int(i)] for i in batch["id"]),
-                        np.int64,
-                        len(batch["id"]),
-                    )
-                    batch["image_feat_frozen"] = img_cache[rows]
-                    batch.pop("image", None)
+                    batch = _inject_cached_image_feats(batch, img_cache, id2row)
                 padded, n_valid = _pad_batch(batch, batch_size)
                 yield shard_batch(padded, self.mesh), n_valid, batch
 

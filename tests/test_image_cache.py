@@ -108,4 +108,6 @@ class TestTrainerWithImageCache:
         np.testing.assert_allclose(
             trained[True]["proj"], trained[False]["proj"], rtol=1e-3, atol=1e-6
         )
-        assert recalls[True] == recalls[False]
+        # the 2-image dev gallery saturates recall@10 at 100 for any
+        # ranking, so this equality cannot flake on feature perturbations
+        assert recalls[True] == recalls[False] == 100.0
