@@ -6,9 +6,12 @@ host trim -> retrieval) at a given data.eval_batch_size, and reports
 utterances/sec including host ingest. Quantifies the round-1 VERDICT
 weak-#5 knob (dev_batch_size 8 -> eval_batch_size 256).
 
-Run: python scripts/bench_eval_loop.py [N_SAMPLES [EVAL_BATCH [u8]]]
+Run: python scripts/bench_eval_loop.py [N_SAMPLES [EVAL_BATCH [u8|imgcache]]]
 ("u8" enables data.dataset.on_device_preprocess: uint8 images + int16 wav
-over the interconnect, resize/normalize/rescale on device.)
+over the interconnect, resize/normalize/rescale on device. "imgcache"
+enables trainer.cache_image_features: the frozen gallery features are
+computed once and reused every validate — no image decode, no image H2D,
+no per-step ViT. The second timed validate() shows the steady-state.)
 """
 
 import os
@@ -22,7 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 EVAL_BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-U8 = len(sys.argv) > 3 and sys.argv[3] == "u8"  # uint8 device-side preprocess
+MODE = sys.argv[3] if len(sys.argv) > 3 else ""
+U8 = MODE == "u8"  # uint8 device-side preprocess
+IMGCACHE = MODE == "imgcache"  # per-fit frozen image-feature cache
 SR = 16000
 
 
@@ -62,6 +67,8 @@ def main():
     if U8:
         # ship uint8 over the interconnect; resize+normalize on device
         config.data.dataset.on_device_preprocess = True
+    if IMGCACHE:
+        config.trainer.cache_image_features = True
     trainer = Trainer(config)
     state = create_train_state(
         trainer.model, trainer.tx, jax.random.key(0)
