@@ -440,6 +440,10 @@ def fairseq_sd_from_hf_hubert(hf) -> dict:
     pos_conv parametrizations original0/1 -> weight_g/weight_v,
     attention -> self_attn, feed_forward.{intermediate,output}_dense ->
     fc{1,2}."""
+    # fairseq wraps the "layer_norm"-mode per-conv LN in
+    # Sequential(TransposeLast, LayerNorm, TransposeLast) -> params at .2.1;
+    # the "group"-mode GroupNorm sits directly at .2 (base, layer 0 only)
+    conv_ln = ".2.1." if hf.config.feat_extract_norm == "layer" else ".2."
     sd = {}
     for k, v in hf.state_dict().items():
         if k == "masked_spec_embed":  # spec-augment only; not in eval path
@@ -448,7 +452,7 @@ def fairseq_sd_from_hf_hubert(hf) -> dict:
         if "conv_layers" in k2:  # frontend convs only (not pos_conv)
             k2 = k2.replace(".conv.weight", ".0.weight")
             k2 = k2.replace(".conv.bias", ".0.bias")
-            k2 = k2.replace(".layer_norm.", ".2.")
+            k2 = k2.replace(".layer_norm.", conv_ln)
         k2 = k2.replace("feature_projection.layer_norm", "layer_norm")
         k2 = k2.replace("feature_projection.projection", "post_extract_proj")
         k2 = k2.replace(
@@ -527,6 +531,31 @@ def openai_sd_from_hf_clip(hf, selected_ids=None) -> dict:
     return sd
 
 
+def torch_clip_text_tower(hf, x):
+    """OpenAI text transformer on embedding input x (B, L, W) — HF's
+    CLIPTextModel cannot take inputs_embeds, so run its layers manually
+    with the causal mask (clip_official.py:248-258 semantics)."""
+    tm = hf.text_model
+    L = x.shape[1]
+    x = x + tm.embeddings.position_embedding.weight[:L]
+    causal = torch.triu(torch.full((L, L), float("-inf")), 1)
+    for layer in tm.encoder.layers:
+        sa = layer.self_attn
+        h = layer.layer_norm1(x)
+        B, _, W = h.shape
+        nh = sa.num_heads
+        hd = W // nh
+        q = sa.q_proj(h).view(B, L, nh, hd).transpose(1, 2) * sa.scale
+        k = sa.k_proj(h).view(B, L, nh, hd).transpose(1, 2)
+        v = sa.v_proj(h).view(B, L, nh, hd).transpose(1, 2)
+        attn = torch.softmax(q @ k.transpose(-1, -2) + causal, dim=-1)
+        o = (attn @ v).transpose(1, 2).reshape(B, L, W)
+        x = x + sa.out_proj(o)
+        h = layer.layer_norm2(x)
+        x = x + layer.mlp.fc2(layer.mlp.activation_fn(layer.mlp.fc1(h)))
+    return tm.final_layer_norm(x)
+
+
 class TestFullModelTorchOracle:
     """ONE end-to-end torch composite forward vs the converted JAX model at
     production dims (VERDICT r2 next-round #3): conversion, reduced-vocab id
@@ -542,30 +571,6 @@ class TestFullModelTorchOracle:
     kw_bn.py:115-124 parallel eachKw)."""
 
     K = 8
-
-    def _torch_text_tower(self, hf, x):
-        """OpenAI text transformer on embedding input x (B, L, W) — HF's
-        CLIPTextModel cannot take inputs_embeds, so run its layers manually
-        with the causal mask (clip_official.py:248-258 semantics)."""
-        tm = hf.text_model
-        L = x.shape[1]
-        x = x + tm.embeddings.position_embedding.weight[:L]
-        causal = torch.triu(torch.full((L, L), float("-inf")), 1)
-        for layer in tm.encoder.layers:
-            sa = layer.self_attn
-            h = layer.layer_norm1(x)
-            B, _, W = h.shape
-            nh = sa.num_heads
-            hd = W // nh
-            q = sa.q_proj(h).view(B, L, nh, hd).transpose(1, 2) * sa.scale
-            k = sa.k_proj(h).view(B, L, nh, hd).transpose(1, 2)
-            v = sa.v_proj(h).view(B, L, nh, hd).transpose(1, 2)
-            attn = torch.softmax(q @ k.transpose(-1, -2) + causal, dim=-1)
-            o = (attn @ v).transpose(1, 2).reshape(B, L, W)
-            x = x + sa.out_proj(o)
-            h = layer.layer_norm2(x)
-            x = x + layer.mlp.fc2(layer.mlp.activation_fn(layer.mlp.fc1(h)))
-        return tm.final_layer_norm(x)
 
     def test_composite_forward_matches(self, tmp_path):
         import torch.nn.functional as F
@@ -759,7 +764,7 @@ class TestFullModelTorchOracle:
             text[:, K + 1] = 3  # reduced EOT
             xemb = emb[text]
             xemb[:, 1 : 1 + K] = keywords_t
-            tow = self._torch_text_tower(hf_clip, xemb)
+            tow = torch_clip_text_tower(hf_clip, xemb)
             casc_t = tow[:, 1 + K] @ hf_clip.text_projection.weight.T
             casc_t = F.normalize(casc_t, dim=-1)
 
@@ -810,3 +815,268 @@ class TestFullModelTorchOracle:
             _, _, r_mean = retrieval_metrics(collected, [1, 5])
             recalls[tag] = r_mean
         assert recalls["jax"] == recalls["torch"]
+
+
+class TestFullModelTorchOracleLarge:
+    """The LARGE family composite oracle (4 of the 6 released checkpoints:
+    large flickr/coco x parallel/cascaded): pre-norm HuBERT-large (layer-
+    norm conv extractor with biases, in-model waveform normalization,
+    RAW final layer state — the reference's custom fairseq forward applies
+    no post-loop norm), s3prl-style per-state layer_norm before the
+    weighted sum (normalize_hiddenstates), ViT-L/14 towers (768-d joint
+    space), and the REAL shipped SpokenCOCO reduced-vocab table (19787
+    rows). Same end-to-end chain as TestFullModelTorchOracle."""
+
+    K = 8
+
+    def test_composite_forward_matches_large_coco(self, tmp_path):
+        import os
+
+        import torch.nn.functional as F
+        from transformers import (
+            CLIPConfig,
+            CLIPModel,
+            CLIPTextConfig,
+            CLIPVisionConfig,
+            HubertConfig,
+            HubertModel,
+        )
+
+        from speechclip_tpu.convert.reference_ckpt import (
+            convert_reference_checkpoint,
+        )
+        from speechclip_tpu.models.speechclip import SpeechCLIPModel
+        from tests import torch_ref
+
+        torch.manual_seed(5)
+        d, out_dim, K = 1024, 768, self.K
+
+        hf_hubert = HubertModel(
+            HubertConfig(
+                hidden_size=1024,
+                num_hidden_layers=24,
+                num_attention_heads=16,
+                intermediate_size=4096,
+                feat_extract_norm="layer",
+                conv_bias=True,
+                do_stable_layer_norm=True,
+                hidden_dropout=0.0,
+                attention_dropout=0.0,
+                feat_proj_dropout=0.0,
+                activation_dropout=0.0,
+                layerdrop=0.0,
+                apply_spec_augment=False,
+            )
+        )
+        hf_hubert.eval()
+
+        hf_clip = CLIPModel(
+            CLIPConfig.from_text_vision_configs(
+                CLIPTextConfig(
+                    vocab_size=49408,
+                    hidden_size=768,
+                    intermediate_size=3072,
+                    num_hidden_layers=12,
+                    num_attention_heads=12,
+                    max_position_embeddings=77,
+                    hidden_act="quick_gelu",
+                    eos_token_id=49407,
+                    bos_token_id=49406,
+                ),
+                CLIPVisionConfig(
+                    image_size=224,
+                    patch_size=14,
+                    hidden_size=1024,
+                    intermediate_size=4096,
+                    num_hidden_layers=24,
+                    num_attention_heads=16,
+                    hidden_act="quick_gelu",
+                ),
+                projection_dim=768,
+            )
+        )
+        hf_clip.eval()
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        table = os.path.join(
+            repo, "assets", "coco_stat", "text_clip_vocab_usage_byfreq.npy"
+        )
+        selected_ids = np.load(table)[:, 0]
+
+        from __graft_entry__ import _flagship_config
+
+        cfg = _flagship_config()
+        cfg.clip.name = "ViT-L/14"
+        cfg.clip.reduce_subword_embbedding = table
+        cfg.audio_encoder.name = "hubert_large_ll60k"
+        cfg.audio_encoder.normalize_hiddenstates = True
+        cfg.audio_encoder.normalize_type = "s3prl"
+        for branch in ("parallel_branch", "cascaded_branch"):
+            cfg.model_settings[branch].transformer_args.d_model = d
+            cfg.model_settings[branch].transformer_args.dim_feedforward = 4096
+        cfg.trainer.precision = 32
+
+        # --- reference-named checkpoint from the SAME weights ---
+        sd = {}
+        for k, v in fairseq_sd_from_hf_hubert(hf_hubert).items():
+            sd[f"audio_encoder.encoder.{k}"] = v
+        ws_weights = torch.randn(25)
+        sd["audio_encoder.weightedsum_layer.weights"] = ws_weights
+        for k, v in openai_sd_from_hf_clip(hf_clip, selected_ids).items():
+            sd[f"clip.model.{k}"] = v
+
+        p_enc = torch_ref.make_torch_encoder(
+            n_layers=1, d_model=d, nhead=8, dim_feedforward=4096
+        )
+        p_lin = torch.nn.Linear(d, out_dim)
+        p_cls = torch.randn(1, 1, d)
+        sd["parallel_branch.cls"] = p_cls
+        for k, v in p_enc.state_dict().items():
+            sd[f"parallel_branch.self_att.model.{k}"] = v
+        for k, v in p_lin.state_dict().items():
+            sd[f"parallel_branch.linear_proj.{k}"] = v
+
+        c_mha, c_norm = torch_ref.make_torch_mha_and_norm(d_model=d, nhead=1)
+        c_lin = torch.nn.Linear(d, out_dim)
+        c_bn = torch.nn.BatchNorm1d(out_dim * K)
+        c_bn.running_mean.normal_()
+        c_bn.running_var.uniform_(0.5, 2.0)
+        c_cls = torch.randn(1, K, d)
+        sd["cascaded_branch.cls"] = c_cls
+        for k, v in c_mha.state_dict().items():
+            sd[f"cascaded_branch.self_att.multihead_attn_layer.{k}"] = v
+        for k, v in c_norm.state_dict().items():
+            sd[f"cascaded_branch.self_att.attentionBlock_Norm.{k}"] = v
+        for k, v in c_lin.state_dict().items():
+            sd[f"cascaded_branch.linear_proj.{k}"] = v
+        for k, v in c_bn.state_dict().items():
+            sd[f"cascaded_branch.bn_layer.bn_layer.{k}"] = v
+        sd["cascaded_branch.vector_quantizer.curr_temp"] = torch.tensor([0.1])
+
+        ckpt = {"state_dict": sd, "hyper_parameters": {"config": cfg.to_dict()}}
+        params, state, _ = convert_reference_checkpoint(ckpt, cfg)
+        model = SpeechCLIPModel(cfg)
+        assert model.sot_id == 2 and model.eot_id == 3  # shipped COCO rows
+        assert model.audio_cfg.encoder_layers == 24
+        assert model.audio_cfg.normalize_waveform
+
+        B = 4
+        rng = np.random.default_rng(17)
+        wav = rng.standard_normal((B, 32000)).astype(np.float32)
+        images = rng.standard_normal((2, 3, 224, 224)).astype(np.float32)
+
+        # --- torch composite (reference chain, large semantics) ---
+        with torch.no_grad():
+            # in-model waveform normalization -> HF gets the host equivalent
+            normed = (wav - wav.mean(axis=1, keepdims=True)) / np.sqrt(
+                wav.var(axis=1, keepdims=True) + 1e-5
+            )
+            # the reference's fairseq forward keeps the LAST state RAW
+            # (no post-loop encoder.layer_norm); HF's final hidden_states
+            # entry is post-norm — capture the raw last-layer output
+            captured = {}
+            hook = hf_hubert.encoder.layers[-1].register_forward_hook(
+                lambda m, i, o: captured.__setitem__("raw", o[0])
+            )
+            hub = hf_hubert(torch.tensor(normed), output_hidden_states=True)
+            hook.remove()
+            # consistency: norm(raw last) must BE HF's last hidden state
+            np.testing.assert_allclose(
+                hf_hubert.encoder.layer_norm(captured["raw"]).numpy(),
+                hub.hidden_states[24].numpy(),
+                atol=1e-5,
+            )
+            states = torch.stack(
+                list(hub.hidden_states[:24]) + [captured["raw"]]
+            )  # (25, B, T, 1024)
+            # normalize_hiddenstates (s3prl featurizer): per-state LN
+            states = F.layer_norm(states, (d,))
+            w = torch.softmax(ws_weights, dim=0)
+            feat = (w[:, None, None, None] * states).sum(0)
+
+            p_enc.eval()
+            src = torch.cat([p_cls.expand(B, 1, d), feat], dim=1)
+            par_t = F.normalize(p_lin(p_enc(src)[:, 0]), dim=-1)
+
+            c_mha.eval()
+            c_bn.eval()
+            src = torch.cat([c_cls.expand(B, K, d), feat], dim=1)
+            attn, _ = c_mha(src, src, src)
+            kw = c_lin(c_norm(attn + src)[:, :K])
+            x = kw.permute(0, 2, 1).reshape(B, -1)
+            x = c_bn(x).reshape(B, out_dim, K).permute(0, 2, 1)
+            emb = hf_clip.text_model.embeddings.token_embedding.weight[
+                torch.as_tensor(selected_ids)
+            ]
+            cos = torch.stack(
+                [
+                    F.cosine_similarity(
+                        x[:, i, :].view(B, out_dim, 1),
+                        emb.T.unsqueeze(0),
+                        dim=1,
+                    )
+                    for i in range(K)
+                ],
+                dim=1,
+            )
+            cosm = cos.clone()
+            cosm[..., [0, 2, 3]] += float("-inf")
+            targets_t = cosm.argmax(-1)
+            top2 = cosm.topk(2, dim=-1).values
+            margins = (top2[..., 0] - top2[..., 1]).numpy()
+
+        # --- JAX side (raw wav in; the model normalizes) ---
+        out = model.encode_speech(
+            params,
+            state,
+            jnp.asarray(wav),
+            jnp.asarray(np.full((B,), 32000, np.int32)),
+        )
+        img_j = np.asarray(
+            model.forward_image(params, jnp.asarray(images.transpose(0, 2, 3, 1)))
+        )
+        img_j = img_j / np.linalg.norm(img_j, axis=-1, keepdims=True)
+
+        # VQ target agreement on DETERMINATE positions. At 768-d cosine
+        # over 19787 candidates the top-2 gap distribution is tight (min
+        # over B*K positions measured ~1e-4..2e-3 across seeds) — demanding
+        # exact argmax agreement everywhere would compare framework noise,
+        # not correctness. Positions with torch-side margin > 3e-3 must
+        # match exactly; near-ties must be few. (The base-dims oracle
+        # asserts FULL equality — margins are comfortable there.)
+        targets_j = np.asarray(out["vq_results"]["targets"])[..., 0]
+        determinate = margins > 3e-3
+        assert determinate.mean() > 0.6, f"too many near-ties: {margins}"
+        np.testing.assert_array_equal(
+            targets_j[determinate], targets_t.numpy()[determinate]
+        )
+
+        # post-VQ chain oracle on the AGREED targets: feed torch the JAX
+        # selections so keyword/text-tower/feature comparisons stay exact
+        # regardless of near-tie flips
+        with torch.no_grad():
+            keywords_t = emb[torch.as_tensor(targets_j)]
+            text = torch.zeros(B, 77, dtype=torch.long)
+            text[:, 0] = 2
+            text[:, K + 1] = 3
+            xemb = emb[text]
+            xemb[:, 1 : 1 + K] = keywords_t
+            tow = torch_clip_text_tower(hf_clip, xemb)
+            casc_t = F.normalize(
+                tow[:, 1 + K] @ hf_clip.text_projection.weight.T, dim=-1
+            )
+            img_t = F.normalize(
+                hf_clip.get_image_features(pixel_values=torch.tensor(images)),
+                dim=-1,
+            )
+
+        np.testing.assert_allclose(
+            np.asarray(out["keywords"]), keywords_t.numpy(), atol=8e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["parallel_audio_feat"]), par_t.numpy(), atol=8e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["cascaded_audio_feat"]), casc_t.numpy(), atol=8e-3
+        )
+        np.testing.assert_allclose(img_j, img_t.numpy(), atol=8e-3)
