@@ -136,6 +136,17 @@ def export_encode_text(
     return _export_fn(fn, example, platforms, polymorphic_batch)
 
 
+def cast_float_params(params, dtype) -> dict:
+    """Cast inexact-dtype leaves (weights) for smaller artifacts; integer
+    leaves (e.g. reduced-vocab id maps) are untouched."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact)
+        else x,
+        params,
+    )
+
+
 def load_exported(blob: bytes) -> Callable:
     """bytes -> callable running the artifact on the ambient backend."""
     from jax import export as jexport
@@ -160,6 +171,14 @@ def main():
     parser.add_argument("--wav-samples", type=int, default=102400)
     parser.add_argument("--platform", default=None)
     parser.add_argument("--polymorphic-batch", action="store_true")
+    parser.add_argument(
+        "--dtype",
+        default=None,
+        choices=["bf16"],
+        help="cast float weights before export (bf16 halves the artifact; "
+        "features move by ~bf16 noise — the TPU compute path already runs "
+        "bf16 under the shipped precision: 16 configs)",
+    )
     args = parser.parse_args()
 
     if args.platform:
@@ -186,6 +205,9 @@ def main():
         from .training.checkpoint import restore_inference_state
 
         model, params, state = restore_inference_state(config, args.ckpt)
+
+    if args.dtype == "bf16":
+        params = cast_float_params(params, jnp.bfloat16)
 
     os.makedirs(args.out, exist_ok=True)
     poly = args.polymorphic_batch

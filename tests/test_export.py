@@ -123,3 +123,31 @@ class TestExport:
                 atol=1e-5,
                 err_msg=f"batch {b}",
             )
+
+    def test_bf16_cast_shrinks_artifact(self, model_and_state):
+        """cast_float_params(bf16) roughly halves the baked-weights artifact
+        and features stay within bf16 noise of the f32 export."""
+        from speechclip_tpu.export import cast_float_params
+        import jax.numpy as jnp
+
+        model, params, state = model_and_state
+        blob_f32 = export_encode_image(
+            model, params, batch_size=2, platforms=("cpu",)
+        )
+        params_bf16 = cast_float_params(params, jnp.bfloat16)
+        blob_bf16 = export_encode_image(
+            model, params_bf16, batch_size=2, platforms=("cpu",)
+        )
+        assert len(blob_bf16) < 0.75 * len(blob_f32), (
+            len(blob_bf16),
+            len(blob_f32),
+        )
+        rng = np.random.default_rng(3)
+        images = jnp.asarray(
+            rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+        )
+        a = np.asarray(load_exported(blob_f32)(images))
+        b = np.asarray(load_exported(blob_bf16)(images))
+        a = a / np.linalg.norm(a, axis=-1, keepdims=True)
+        b = b / np.linalg.norm(b, axis=-1, keepdims=True)
+        assert float((a * b).sum(-1).min()) > 0.995
