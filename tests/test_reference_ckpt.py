@@ -250,3 +250,27 @@ class TestReferenceCheckpointConversion:
         losses = model.compute_loss(params, loss_feats)
         assert np.isfinite(float(losses["loss"]))
         assert others["keywords"].shape == (2, 4, 32)
+
+
+def test_released_ckpt_stat_path_remaps_to_vendored(reference_checkpoint):
+    """A released checkpoint's pickled config points at the REFERENCE
+    repo's stat-table path; conversion must remap it to the vendored copy
+    in assets/ so the model constructs out of the box."""
+    ckpt, config, _ = reference_checkpoint
+    import copy
+
+    cfg = ConfigNode(copy.deepcopy(config.to_dict()))
+    cfg.clip.reduce_subword_embbedding = (
+        "avssl/data/flickr_stat/text_clip_vocab_usage_byfreq.npy"
+    )
+    _, _, out_cfg = convert_reference_checkpoint(ckpt, cfg)
+    resolved = out_cfg.clip.reduce_subword_embbedding
+    import os
+
+    assert os.path.isabs(resolved) and os.path.exists(resolved), resolved
+    assert resolved.endswith(
+        "assets/flickr_stat/text_clip_vocab_usage_byfreq.npy"
+    )
+    import numpy as _np
+
+    assert _np.load(resolved).shape == (8112, 2)
