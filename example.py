@@ -14,17 +14,39 @@ import numpy as np
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--ckpt", required=True, help="checkpoint dir or reference .ckpt")
+    parser.add_argument(
+        "--ckpt",
+        default=None,
+        help="checkpoint dir or reference .ckpt (random init if omitted)",
+    )
     parser.add_argument("--wav", nargs="*", default=[], help="wav files (random if none)")
+    parser.add_argument(
+        "--platform",
+        default=None,
+        help="jax platform override (e.g. cpu — env vars alone do not work "
+        "on machines that pin a platform via sitecustomize)",
+    )
     args = parser.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
     import jax.numpy as jnp
 
     from speechclip_tpu.models.speechclip import SpeechCLIPModel
     from speechclip_tpu.data import read_wav
 
-    if args.ckpt.endswith(".ckpt"):  # reference Lightning checkpoint
+    if args.ckpt is None:
+        # no checkpoint: random init on the flagship config (demo of the
+        # API surface without downloaded assets)
+        from __graft_entry__ import _flagship_config
+
+        config = _flagship_config()
+        model = SpeechCLIPModel(config)
+        params, model_state = model.init(jax.random.key(0))
+    elif args.ckpt.endswith(".ckpt"):  # reference Lightning checkpoint
         from speechclip_tpu.convert import load_reference_checkpoint
 
         params, model_state, config = load_reference_checkpoint(args.ckpt)
