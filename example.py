@@ -41,9 +41,9 @@ def main():
     if args.ckpt is None:
         # no checkpoint: random init on the flagship config (demo of the
         # API surface without downloaded assets)
-        from __graft_entry__ import _flagship_config
+        from speechclip_tpu.config import flagship_config
 
-        config = _flagship_config()
+        config = flagship_config()
         model = SpeechCLIPModel(config)
         params, model_state = model.init(jax.random.key(0))
     elif args.ckpt.endswith(".ckpt"):  # reference Lightning checkpoint
@@ -52,25 +52,18 @@ def main():
         params, model_state, config = load_reference_checkpoint(args.ckpt)
         model = SpeechCLIPModel(config)
     else:
-        from speechclip_tpu.config import load_config
-        from speechclip_tpu.training.checkpoint import load_config_from_checkpoint
-        from speechclip_tpu.training.optim import build_optimizer
-        from speechclip_tpu.training.train_step import create_train_state
+        from speechclip_tpu.training.checkpoint import (
+            load_config_from_checkpoint,
+            restore_inference_state,
+        )
 
         config = load_config_from_checkpoint(args.ckpt)
-        model = SpeechCLIPModel(config)
-        import orbax.checkpoint as ocp
-
-        tx, _ = build_optimizer(
-            config, model.trainable_mask(model.init(jax.random.key(0))[0])
-        )
-        state = create_train_state(model, tx, jax.random.key(0))
-        import os
-
-        restored = ocp.StandardCheckpointer().restore(
-            os.path.join(args.ckpt, "state"), state
-        )
-        params, model_state = restored.params, restored.model_state
+        # PRNG impl must match the run that wrote the checkpoint (shipped
+        # configs set trainer.fast_rng -> rbg keys) and must be set before
+        # any key is created — same contract as export.py's loader.
+        if config.get_path("trainer.fast_rng", False):
+            jax.config.update("jax_default_prng_impl", "rbg")
+        model, params, model_state = restore_inference_state(config, args.ckpt)
 
     if args.wav:
         wavs = [read_wav(p) for p in args.wav]

@@ -6,7 +6,7 @@ host trim -> retrieval) at a given data.eval_batch_size, and reports
 utterances/sec including host ingest. Quantifies the round-1 VERDICT
 weak-#5 knob (dev_batch_size 8 -> eval_batch_size 256).
 
-Run: python scripts/bench_eval_loop.py [N_SAMPLES [EVAL_BATCH [u8|imgcache]]]
+Run: python scripts/bench_eval_loop.py [N_SAMPLES [EVAL_BATCH [u8] [imgcache]]]
 ("u8" enables data.dataset.on_device_preprocess: uint8 images + int16 wav
 over the interconnect, resize/normalize/rescale on device. "imgcache"
 enables trainer.cache_image_features: the frozen gallery features are
@@ -25,9 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 EVAL_BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-MODE = sys.argv[3] if len(sys.argv) > 3 else ""
-U8 = MODE == "u8"  # uint8 device-side preprocess
-IMGCACHE = MODE == "imgcache"  # per-fit frozen image-feature cache
+MODES = set(sys.argv[3:])  # combinable: the two knobs are orthogonal
+_unknown = MODES - {"u8", "imgcache"}
+if _unknown:
+    raise SystemExit(
+        f"unknown mode(s) {sorted(_unknown)}; valid modes: u8, imgcache"
+    )
+U8 = "u8" in MODES  # uint8 device-side preprocess
+IMGCACHE = "imgcache" in MODES  # per-fit frozen image-feature cache
 SR = 16000
 
 

@@ -187,3 +187,93 @@ def load_config(
         key, _, value = item.partition("=")
         cfg.set_path(key.strip(), _parse_override_value(value.strip()))
     return cfg
+
+
+def flagship_config() -> ConfigNode:
+    """The flagship preset: SpeechCLIP base (HuBERT-base + CLIP ViT-B/32,
+    parallel + cascaded branches, random init — no downloaded assets).
+
+    Mirrors config/speechCLIP/model_base/spchclp_c.yaml's topology with both
+    objective weights live; used by the driver hooks, the bench scripts, and
+    ``example.py``'s no-checkpoint demo path.
+    """
+    return ConfigNode(
+        {
+            "model_settings": {
+                "cascaded_objective_weight": 1.0,
+                "parallel_objective_weight": 1.0,
+                "parallel_branch": {
+                    "transformer_type": "TransformerEncoder",
+                    "transformer_args": {
+                        "n_layers": 1,
+                        "d_model": 768,
+                        "nhead": 8,
+                        "dim_feedforward": 3072,
+                        "dropout": 0.1,
+                        "activation": "gelu",
+                        "layer_norm_eps": 1e-5,
+                        "batch_first": True,
+                        "norm_first": False,
+                    },
+                    "need_projection": True,
+                },
+                "cascaded_branch": {
+                    "type": "KW_CascadedBranch",
+                    "transformer_type": "MultiheadAttentionAndNorm",
+                    "transformer_args": {
+                        "n_layers": 1,
+                        "d_model": 768,
+                        "nhead": 1,
+                        "dim_feedforward": 3072,
+                        "dropout": 0.1,
+                    },
+                    "keyword": {
+                        "number": 8,
+                        "batchnorms": {
+                            "type": "eachKw",
+                            "std_scale": 1.0,
+                            "learnable": True,
+                            "parallel": True,
+                        },
+                    },
+                    "vq": {
+                        "type": "SimpleVectorQuantizer",
+                        "args": {
+                            "temp": "fixed=0.1",
+                            "time_first": True,
+                            "use_gumbel": False,
+                            "hard": True,
+                        },
+                    },
+                },
+            },
+            "cl_loss": {
+                "type": "MaskedContrastiveLoss",
+                "args": {"temperature": 0.07, "temperature_trainable": False},
+            },
+            "retrieval": {"audio_feat_src": "parallel", "recall_at": [1, 5, 10]},
+            "clip": {
+                "name": "ViT-B/32",
+                "image_encoder_trainable": False,
+                "text_encoder_trainable": False,
+            },
+            "audio_encoder": {
+                "type": "FairseqHubert",
+                "name": "hubert",
+                "pretrained": False,
+                "trainable": False,
+                "feat_select_idx": "weighted_sum",
+                "layer_drop": 0.0,
+                "max_audio_len": 102400,
+                "normalize_hiddenstates": False,
+                "optim": {"name": "Adam", "args": {"lr": 1e-4, "weight_decay": 1e-6}},
+                "scheduler": {
+                    "name": "linear_warmup_decay",
+                    "warmup": 5000,
+                    "max_step": 50000,
+                    "final_lr": 1e-8,
+                },
+            },
+            "trainer": {"precision": 16, "gradient_clip_val": 4},
+        }
+    )

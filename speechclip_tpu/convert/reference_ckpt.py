@@ -118,30 +118,16 @@ def convert_reference_checkpoint(
     # the reduced table; the model wrapper re-derives id maps from the npy.
     # A RELEASED checkpoint's pickled config points at the reference
     # repo's table path (avssl/data/{flickr,coco}_stat/..., configured at
-    # config/.../spchclp_*.yaml:94) — remap it to the vendored copy in
-    # assets/ when the original path does not exist here, so conversion
-    # works out of the box (the vendored tables are byte-identical copies
-    # of the reference's, tests/test_vocab_tables.py).
+    # config/.../spchclp_*.yaml:94) — persist the resolved path (vendored
+    # byte-identical copy under assets/, tests/test_vocab_tables.py) into
+    # the converted config so conversion works out of the box.
     reduce_path = config.clip.get("reduce_subword_embbedding")
     if reduce_path:
-        import os
-        import re
+        from ..models.speechclip import _resolve_asset_path
 
-        if not os.path.exists(str(reduce_path)):
-            m = re.search(
-                r"(flickr|coco)_stat/([\w.]+\.npy)$", str(reduce_path)
-            )
-            if m:
-                repo_root = os.path.dirname(
-                    os.path.dirname(
-                        os.path.dirname(os.path.abspath(__file__))
-                    )
-                )
-                vendored = os.path.join(
-                    repo_root, "assets", f"{m.group(1)}_stat", m.group(2)
-                )
-                if os.path.exists(vendored):
-                    config.clip.reduce_subword_embbedding = vendored
+        config.clip.reduce_subword_embbedding = _resolve_asset_path(
+            str(reduce_path)
+        )
 
     if any(k.startswith("cascaded_branch.") for k in sd):
         bc = config.model_settings.cascaded_branch

@@ -115,16 +115,33 @@ def _resolve_asset_path(path: str) -> str:
     repo root when they don't exist relative to the CWD, so the six shipped
     configs construct from a fresh checkout regardless of invocation
     directory (reference configs use repo-relative paths the same way,
-    config/.../spchclp_p.yaml:94)."""
-    import os
+    config/.../spchclp_p.yaml:94).
 
-    if os.path.isabs(path) or os.path.exists(path):
+    Also remaps reference-style table paths (``.../{flickr,coco}_stat/*.npy``
+    as pickled into RELEASED checkpoints' configs, config/.../spchclp_*.yaml:94)
+    to the vendored byte-identical copies under ``assets/`` when the original
+    location does not exist here — covers both checkpoint conversion and
+    hand-written configs pointing at the reference layout."""
+    import os
+    import re
+
+    if os.path.exists(path):
         return path
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    candidate = os.path.join(repo_root, path)
-    return candidate if os.path.exists(candidate) else path
+    if not os.path.isabs(path):
+        candidate = os.path.join(repo_root, path)
+        if os.path.exists(candidate):
+            return candidate
+    m = re.search(r"(flickr|coco)_stat/([\w.]+\.npy)$", path)
+    if m:
+        vendored = os.path.join(
+            repo_root, "assets", f"{m.group(1)}_stat", m.group(2)
+        )
+        if os.path.exists(vendored):
+            return vendored
+    return path
 
 
 @dataclasses.dataclass

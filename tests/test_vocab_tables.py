@@ -128,3 +128,28 @@ class TestConfigsConstructWithShippedTables:
         assert len(model.reduced_vocab.selected_ids) == n_rows
         # shipped byfreq row layout: pad/?/SOT/EOT -> reduced SOT=2, EOT=3
         assert model.sot_id == 2 and model.eot_id == 3
+
+
+def test_reference_style_table_path_resolves_to_vendored(monkeypatch):
+    """A hand-written config that keeps the REFERENCE repo's table layout
+    (avssl/data/{flickr,coco}_stat/*.npy, config/.../spchclp_*.yaml:94)
+    must construct too: the shared resolver falls back to the vendored
+    byte-identical copy under assets/ — same remap the checkpoint
+    converter relies on, but covering direct model construction."""
+    from speechclip_tpu.models.speechclip import _resolve_asset_path
+
+    monkeypatch.chdir("/")
+    resolved = _resolve_asset_path(
+        "avssl/data/coco_stat/text_clip_vocab_usage_byfreq.npy"
+    )
+    assert resolved.endswith("assets/coco_stat/text_clip_vocab_usage_byfreq.npy")
+    assert np.load(resolved).shape == (19787, 2)
+    # absolute reference-style paths (as pickled into released ckpts) too
+    resolved_abs = _resolve_asset_path(
+        "/work/SpeechCLIP/avssl/data/flickr_stat/text_clip_vocab_usage_byfreq.npy"
+    )
+    assert resolved_abs.endswith(
+        "assets/flickr_stat/text_clip_vocab_usage_byfreq.npy"
+    )
+    # non-table paths that do not exist pass through unchanged
+    assert _resolve_asset_path("no/such/file.npy") == "no/such/file.npy"
