@@ -216,8 +216,74 @@ def _openai_block(sd: Mapping, prefix: str) -> Dict:
     }
 
 
+def _bn2d(sd: Mapping, prefix: str) -> Dict:
+    """torch BatchNorm2d -> inference-stat params (models/clip._batch_norm)."""
+    return {
+        "scale": jnp.asarray(_t(sd[f"{prefix}.weight"])),
+        "bias": jnp.asarray(_t(sd[f"{prefix}.bias"])),
+        "mean": jnp.asarray(_t(sd[f"{prefix}.running_mean"])),
+        "var": jnp.asarray(_t(sd[f"{prefix}.running_var"])),
+    }
+
+
+def _conv2d_w(sd: Mapping, key: str) -> Dict:
+    """torch Conv2d weight (O, I, kH, kW) -> HWIO."""
+    return {"w": jnp.asarray(_t(sd[key]).transpose(2, 3, 1, 0))}
+
+
+def _resnet_visual_from_openai(sd: Mapping, cfg: CLIPConfig) -> Dict:
+    """ModifiedResNet visual tower (RN* names): 3-conv stem, four bottleneck
+    stages (downsample Sequential keys .0=conv/.1=bn; the .-1 avgpool is
+    parameter-free), AttentionPool2d with separate q/k/v/c projections."""
+    visual: Dict = {
+        "stem": {
+            "conv1": _conv2d_w(sd, "visual.conv1.weight"),
+            "bn1": _bn2d(sd, "visual.bn1"),
+            "conv2": _conv2d_w(sd, "visual.conv2.weight"),
+            "bn2": _bn2d(sd, "visual.bn2"),
+            "conv3": _conv2d_w(sd, "visual.conv3.weight"),
+            "bn3": _bn2d(sd, "visual.bn3"),
+        }
+    }
+    for stage in range(4):
+        blocks = []
+        for i in range(cfg.vision.layers[stage]):
+            prefix = f"visual.layer{stage + 1}.{i}"
+            p = {
+                "conv1": _conv2d_w(sd, f"{prefix}.conv1.weight"),
+                "bn1": _bn2d(sd, f"{prefix}.bn1"),
+                "conv2": _conv2d_w(sd, f"{prefix}.conv2.weight"),
+                "bn2": _bn2d(sd, f"{prefix}.bn2"),
+                "conv3": _conv2d_w(sd, f"{prefix}.conv3.weight"),
+                "bn3": _bn2d(sd, f"{prefix}.bn3"),
+            }
+            if f"{prefix}.downsample.0.weight" in sd:
+                p["downsample"] = {
+                    "conv": _conv2d_w(sd, f"{prefix}.downsample.0.weight"),
+                    "bn": _bn2d(sd, f"{prefix}.downsample.1"),
+                }
+            blocks.append(p)
+        visual[f"layer{stage + 1}"] = blocks
+    visual["attnpool"] = {
+        "positional_embedding": jnp.asarray(
+            _t(sd["visual.attnpool.positional_embedding"])
+        ),
+        "q_proj": _lin(sd, "visual.attnpool.q_proj"),
+        "k_proj": _lin(sd, "visual.attnpool.k_proj"),
+        "v_proj": _lin(sd, "visual.attnpool.v_proj"),
+        "c_proj": _lin(sd, "visual.attnpool.c_proj"),
+    }
+    return visual
+
+
 def clip_from_openai(sd: Mapping, cfg: CLIPConfig) -> Dict:
-    """OpenAI CLIP state dict (ViT visual tower)."""
+    """OpenAI CLIP state dict (ViT or ModifiedResNet visual tower)."""
+    if "visual.attnpool.positional_embedding" in sd:
+        return {
+            "visual": _resnet_visual_from_openai(sd, cfg),
+            "text": _openai_text(sd, cfg),
+            "logit_scale": jnp.asarray(_t(sd["logit_scale"])),
+        }
     visual = {
         "conv1": {
             # torch conv2d (out, in, kh, kw) -> HWIO
@@ -233,7 +299,15 @@ def clip_from_openai(sd: Mapping, cfg: CLIPConfig) -> Dict:
         "ln_post": _ln(sd, "visual.ln_post"),
         "proj": jnp.asarray(_t(sd["visual.proj"])),  # already (width, out)
     }
-    text = {
+    return {
+        "visual": visual,
+        "text": _openai_text(sd, cfg),
+        "logit_scale": jnp.asarray(_t(sd["logit_scale"])),
+    }
+
+
+def _openai_text(sd: Mapping, cfg: CLIPConfig) -> Dict:
+    return {
         "token_embedding": jnp.asarray(_t(sd["token_embedding.weight"])),
         "positional_embedding": jnp.asarray(_t(sd["positional_embedding"])),
         "blocks": [
@@ -242,11 +316,6 @@ def clip_from_openai(sd: Mapping, cfg: CLIPConfig) -> Dict:
         ],
         "ln_final": _ln(sd, "ln_final"),
         "text_projection": jnp.asarray(_t(sd["text_projection"])),
-    }
-    return {
-        "visual": visual,
-        "text": text,
-        "logit_scale": jnp.asarray(_t(sd["logit_scale"])),
     }
 
 

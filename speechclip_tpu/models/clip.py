@@ -41,6 +41,34 @@ class CLIPVisionConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class CLIPResNetVisionConfig:
+    """ModifiedResNet image tower — the RN* half of the reference's CLIP
+    name surface (avssl/module/clip_official.py:14-23 accepts RN50/RN101/
+    RN50x4/RN50x16/RN50x64 via ``clip.load``). Architecture per the public
+    OpenAI CLIP model: a 3-conv stem with blur-free 2x2 average pooling,
+    four stages of pre-activation-free bottlenecks whose stride-2 convs are
+    replaced by stride-1 conv + 2x2 average pool (anti-aliased downsample),
+    and a final AttentionPool2d (mean-query multi-head attention over the
+    7x7 feature grid) instead of global average pooling."""
+
+    image_size: int = 224
+    width: int = 64  # stem width; stage channels are width*(1,2,4,8)*4
+    layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
+    heads: int = 32  # attnpool heads (vision_width * 32 // 64)
+    output_dim: int = 1024
+
+    @property
+    def embed_dim(self) -> int:
+        """attnpool input channels (stage-4 output)."""
+        return self.width * 32
+
+    @property
+    def feature_grid(self) -> int:
+        """spatial extent after the 32x downsample (stem 4x + 3 stages 2x)."""
+        return self.image_size // 32
+
+
+@dataclasses.dataclass(frozen=True)
 class CLIPTextConfig:
     vocab_size: int = 49408
     context_length: int = 77
@@ -69,7 +97,46 @@ CLIP_VIT_L14 = CLIPConfig(
     text=CLIPTextConfig(width=768, heads=12, output_dim=768),
 )
 
+# RN* dims per the published OpenAI checkpoints (clip's build_model derives
+# them from the state dict; text heads = width // 64, attnpool heads =
+# vision_width * 32 // 64)
+CLIP_RN50 = CLIPConfig(
+    vision=CLIPResNetVisionConfig(),
+    text=CLIPTextConfig(output_dim=1024),
+)
+CLIP_RN101 = CLIPConfig(
+    vision=CLIPResNetVisionConfig(layers=(3, 4, 23, 3), output_dim=512),
+    text=CLIPTextConfig(output_dim=512),
+)
+CLIP_RN50x4 = CLIPConfig(
+    vision=CLIPResNetVisionConfig(
+        image_size=288, width=80, layers=(4, 6, 10, 6), heads=40, output_dim=640
+    ),
+    text=CLIPTextConfig(width=640, heads=10, output_dim=640),
+)
+CLIP_RN50x16 = CLIPConfig(
+    vision=CLIPResNetVisionConfig(
+        image_size=384, width=96, layers=(6, 8, 18, 8), heads=48, output_dim=768
+    ),
+    text=CLIPTextConfig(width=768, heads=12, output_dim=768),
+)
+CLIP_RN50x64 = CLIPConfig(
+    vision=CLIPResNetVisionConfig(
+        image_size=448,
+        width=128,
+        layers=(3, 15, 36, 10),
+        heads=64,
+        output_dim=1024,
+    ),
+    text=CLIPTextConfig(width=1024, heads=16, output_dim=1024),
+)
+
 NAMED_CONFIGS = {
+    "RN50": CLIP_RN50,
+    "RN101": CLIP_RN101,
+    "RN50x4": CLIP_RN50x4,
+    "RN50x16": CLIP_RN50x16,
+    "RN50x64": CLIP_RN50x64,
     "ViT-B/32": CLIP_VIT_B32,
     "ViT-B/16": CLIP_VIT_B16,
     "ViT-L/14": CLIP_VIT_L14,
@@ -109,10 +176,83 @@ def _block_init(rng: jax.Array, width: int, ffn: int) -> Params:
     }
 
 
+def _resnet_init(rng: jax.Array, v: CLIPResNetVisionConfig) -> Params:
+    """Random ModifiedResNet visual params (real runs load converted
+    weights; shapes and tree layout are the contract here)."""
+    n_keys = 8 + sum(v.layers) * 4 + 6
+    keys = iter(jax.random.split(rng, n_keys))
+
+    def conv(kh, kw, cin, cout):
+        return {
+            "w": jax.random.normal(next(keys), (kh, kw, cin, cout), jnp.float32)
+            * (kh * kw * cin) ** -0.5
+        }
+
+    def bn(dim):
+        return {
+            "scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32),
+            "mean": jnp.zeros((dim,), jnp.float32),
+            "var": jnp.ones((dim,), jnp.float32),
+        }
+
+    def lin(i, o):
+        return {
+            "w": jax.random.normal(next(keys), (i, o), jnp.float32) * i**-0.5,
+            "b": jnp.zeros((o,), jnp.float32),
+        }
+
+    w2 = v.width // 2
+    visual: Params = {
+        "stem": {
+            "conv1": conv(3, 3, 3, w2),
+            "bn1": bn(w2),
+            "conv2": conv(3, 3, w2, w2),
+            "bn2": bn(w2),
+            "conv3": conv(3, 3, w2, v.width),
+            "bn3": bn(v.width),
+        }
+    }
+    inplanes = v.width
+    for stage in range(4):
+        planes = v.width * (2**stage)
+        blocks = []
+        for block in range(v.layers[stage]):
+            p = {
+                "conv1": conv(1, 1, inplanes, planes),
+                "bn1": bn(planes),
+                "conv2": conv(3, 3, planes, planes),
+                "bn2": bn(planes),
+                "conv3": conv(1, 1, planes, planes * 4),
+                "bn3": bn(planes * 4),
+            }
+            # first block of every stage re-projects the identity
+            # (stride > 1 or inplanes != planes*4 in the torch Bottleneck)
+            if block == 0:
+                p["downsample"] = {
+                    "conv": conv(1, 1, inplanes, planes * 4),
+                    "bn": bn(planes * 4),
+                }
+            blocks.append(p)
+            inplanes = planes * 4
+        visual[f"layer{stage + 1}"] = blocks
+    ed = v.embed_dim
+    visual["attnpool"] = {
+        "positional_embedding": jax.random.normal(
+            next(keys), (v.feature_grid**2 + 1, ed), jnp.float32
+        )
+        * ed**-0.5,
+        "q_proj": lin(ed, ed),
+        "k_proj": lin(ed, ed),
+        "v_proj": lin(ed, ed),
+        "c_proj": lin(ed, v.output_dim),
+    }
+    return visual
+
+
 def clip_init(rng: jax.Array, cfg: CLIPConfig) -> Params:
     kv, kt, kc, kp, ke, kpe, ktp = jax.random.split(rng, 7)
     v, t = cfg.vision, cfg.text
-    grid = v.image_size // v.patch_size
 
     def ln(dim):
         return {
@@ -120,6 +260,15 @@ def clip_init(rng: jax.Array, cfg: CLIPConfig) -> Params:
             "bias": jnp.zeros((dim,), jnp.float32),
         }
 
+    if isinstance(v, CLIPResNetVisionConfig):
+        visual = _resnet_init(kv, v)
+        return {
+            "visual": visual,
+            "text": _text_init(kt, ke, kpe, ktp, t, ln),
+            "logit_scale": jnp.asarray(np.log(1 / 0.07), jnp.float32),
+        }
+
+    grid = v.image_size // v.patch_size
     visual = {
         "conv1": {
             "w": jax.random.normal(
@@ -142,7 +291,15 @@ def clip_init(rng: jax.Array, cfg: CLIPConfig) -> Params:
         "proj": jax.random.normal(kt, (v.width, v.output_dim), jnp.float32)
         * (v.width**-0.5),
     }
-    text = {
+    return {
+        "visual": visual,
+        "text": _text_init(kt, ke, kpe, ktp, t, ln),
+        "logit_scale": jnp.asarray(np.log(1 / 0.07), jnp.float32),
+    }
+
+
+def _text_init(kt, ke, kpe, ktp, t: CLIPTextConfig, ln) -> Params:
+    return {
         "token_embedding": jax.random.normal(
             ke, (t.vocab_size, t.width), jnp.float32
         )
@@ -160,11 +317,6 @@ def clip_init(rng: jax.Array, cfg: CLIPConfig) -> Params:
             ktp, (t.width, t.output_dim), jnp.float32
         )
         * (t.width**-0.5),
-    }
-    return {
-        "visual": visual,
-        "text": text,
-        "logit_scale": jnp.asarray(np.log(1 / 0.07), jnp.float32),
     }
 
 
@@ -192,13 +344,125 @@ def _resblock(
     return x + y
 
 
+# --- ModifiedResNet image tower (RN* names) --------------------------------
+def _conv2d(w: jnp.ndarray, x: jnp.ndarray, stride: int = 1, padding: int = 0):
+    """bias-free 2D conv, NHWC on the MXU (all ModifiedResNet convs are
+    bias-free; BN supplies the affine)."""
+    return jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def _batch_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """torch BatchNorm2d inference semantics (running stats, eps 1e-5) over
+    NHWC channels, folded to one fused multiply-add; f32 stat math."""
+    inv = jax.lax.rsqrt(p["var"].astype(jnp.float32) + eps)
+    scale = p["scale"].astype(jnp.float32) * inv
+    bias = p["bias"].astype(jnp.float32) - p["mean"].astype(jnp.float32) * scale
+    return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+def _avg_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """torch AvgPool2d(k) (no padding, floor mode) over NHWC."""
+    if k == 1:
+        return x
+    s = jax.lax.reduce_window(
+        x.astype(jnp.float32),
+        0.0,
+        jax.lax.add,
+        (1, k, k, 1),
+        (1, k, k, 1),
+        "VALID",
+    )
+    return (s * (1.0 / (k * k))).astype(x.dtype)
+
+
+def _bottleneck(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """CLIP's anti-aliased Bottleneck: 1x1 -> 3x3 -> [avgpool(stride)] ->
+    1x1(x4), identity via avgpool + 1x1 conv when re-projected; all convs
+    stride 1 (the downsample is the avgpool)."""
+    out = jax.nn.relu(_batch_norm(p["bn1"], _conv2d(p["conv1"]["w"], x)))
+    out = jax.nn.relu(
+        _batch_norm(p["bn2"], _conv2d(p["conv2"]["w"], out, padding=1))
+    )
+    out = _avg_pool(out, stride)
+    out = _batch_norm(p["bn3"], _conv2d(p["conv3"]["w"], out))
+    if "downsample" in p:
+        identity = _batch_norm(
+            p["downsample"]["bn"],
+            _conv2d(p["downsample"]["conv"]["w"], _avg_pool(x, stride)),
+        )
+    else:
+        identity = x
+    return jax.nn.relu(out + identity)
+
+
+def _attention_pool(
+    p: Params, v: CLIPResNetVisionConfig, x: jnp.ndarray
+) -> jnp.ndarray:
+    """AttentionPool2d: prepend the spatial mean as the (single) query
+    token, add a learned positional embedding, one round of multi-head
+    attention, project to output_dim."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h * w, c)
+    x = jnp.concatenate([x.mean(axis=1, keepdims=True), x], axis=1)
+    x = x + p["positional_embedding"].astype(x.dtype)
+    q = linear(p["q_proj"], x[:, :1])
+    k = linear(p["k_proj"], x)
+    val = linear(p["v_proj"], x)
+    nh = v.heads
+    hd = c // nh
+    q = q.reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
+    val = val.reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * (hd**-0.5), k, preferred_element_type=jnp.float32
+    )
+    weights = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    pooled = (
+        jnp.einsum("bhqk,bhkd->bhqd", weights, val)
+        .transpose(0, 2, 1, 3)
+        .reshape(b, 1, c)
+    )
+    return linear(p["c_proj"], pooled)[:, 0]
+
+
+def _encode_image_resnet(
+    params: Params, v: CLIPResNetVisionConfig, images: jnp.ndarray
+) -> jnp.ndarray:
+    p = params["visual"]
+    x = images
+    x = jax.nn.relu(
+        _batch_norm(p["stem"]["bn1"], _conv2d(p["stem"]["conv1"]["w"], x, 2, 1))
+    )
+    x = jax.nn.relu(
+        _batch_norm(p["stem"]["bn2"], _conv2d(p["stem"]["conv2"]["w"], x, 1, 1))
+    )
+    x = jax.nn.relu(
+        _batch_norm(p["stem"]["bn3"], _conv2d(p["stem"]["conv3"]["w"], x, 1, 1))
+    )
+    x = _avg_pool(x, 2)
+    for stage in range(4):
+        for block, bp in enumerate(p[f"layer{stage + 1}"]):
+            x = _bottleneck(bp, x, stride=2 if (stage > 0 and block == 0) else 1)
+    return _attention_pool(p["attnpool"], v, x)
+
+
 def encode_image(
     params: Params, cfg: CLIPConfig, images: jnp.ndarray
 ) -> jnp.ndarray:
     """images: (B, H, W, 3) normalized NHWC -> (B, output_dim).
 
-    (reference clip_official.py:200-209 -> CLIP VisionTransformer)"""
+    (reference clip_official.py:200-209 -> CLIP VisionTransformer, or
+    ModifiedResNet for the RN* names)"""
     v = cfg.vision
+    if isinstance(v, CLIPResNetVisionConfig):
+        return _encode_image_resnet(params, v, images)
     x = jax.lax.conv_general_dilated(
         images,
         params["visual"]["conv1"]["w"].astype(images.dtype),

@@ -74,8 +74,16 @@ _UNRESOLVED = object()
 def _resolve_clip_cfg(config: ConfigNode):
     custom_clip = config.clip.get("custom")
     if custom_clip is not None:
+        vision = dict(custom_clip.vision.to_dict())
+        arch = vision.pop("arch", None)
+        if arch == "resnet" or isinstance(vision.get("layers"), (list, tuple)):
+            # RN* family: per-stage block counts come as a list
+            vision["layers"] = tuple(vision["layers"])
+            vision_cfg = clip_mod.CLIPResNetVisionConfig(**vision)
+        else:
+            vision_cfg = clip_mod.CLIPVisionConfig(**vision)
         return clip_mod.CLIPConfig(
-            vision=clip_mod.CLIPVisionConfig(**custom_clip.vision.to_dict()),
+            vision=vision_cfg,
             text=clip_mod.CLIPTextConfig(**custom_clip.text.to_dict()),
         )
     return clip_mod.NAMED_CONFIGS[config.clip.name]
@@ -167,6 +175,19 @@ class SpeechCLIPModel:
         self.audio_embd_dim = self.audio_cfg.encoder_embed_dim
         self.subword_embd_dim = self.clip_cfg.text.width
         self.compute_dtype = _compute_dtype(cfg)
+        if isinstance(
+            self.clip_cfg.vision, clip_mod.CLIPResNetVisionConfig
+        ) and cfg.clip.get("image_encoder_trainable", False):
+            # the RN towers' BatchNorm is implemented with inference
+            # semantics (running stats) — matching every shipped/released
+            # configuration, where the CLIP image tower is frozen
+            # (clip_official.py:111-132). Training it would need batch-stat
+            # BN + running-stat state threading; refuse loudly.
+            raise NotImplementedError(
+                "image_encoder_trainable is not supported for the RN* CLIP "
+                "towers (inference-mode BatchNorm); use a ViT tower or "
+                "freeze the image encoder"
+            )
 
         self.reduced_vocab = None
         reduce_path = cfg.clip.get("reduce_subword_embbedding")

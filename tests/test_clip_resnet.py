@@ -1,0 +1,167 @@
+"""ModifiedResNet CLIP tower (RN* names) parity tests.
+
+The reference reaches RN50/RN101/RN50x4/RN50x16/RN50x64 through
+``clip.load`` (avssl/module/clip_official.py:14-23,50); here the tower is
+re-implemented TPU-native (NHWC convs on the MXU, folded inference
+BatchNorm, mean-query attention pool) and pinned against a hand-written
+torch oracle (tests/torch_ref.py ModifiedResNetTorch) with randomized
+weights AND randomized BatchNorm running stats, at tiny dims and at full
+RN50 production dims.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from speechclip_tpu.config import ConfigNode
+from speechclip_tpu.convert.from_torch import clip_from_openai
+from speechclip_tpu.models import clip as clip_mod
+from tests import torch_ref
+from tests.test_models import TINY_CLIP
+from tests.test_reference_ckpt import openai_clip_state_dict
+
+TINY_RN = clip_mod.CLIPConfig(
+    vision=clip_mod.CLIPResNetVisionConfig(
+        image_size=64, width=8, layers=(1, 1, 1, 1), heads=4, output_dim=16
+    ),
+    text=TINY_CLIP.text,
+)
+
+
+def _openai_rn_state_dict(torch_visual, cfg=TINY_RN):
+    """Full OpenAI-style CLIP sd: RN visual tower + matching text pieces."""
+    sd = {f"visual.{k}": v for k, v in torch_visual.state_dict().items()}
+    text_host = clip_mod.CLIPConfig(vision=TINY_CLIP.vision, text=cfg.text)
+    text_only = {
+        k: v
+        for k, v in openai_clip_state_dict(text_host, reduced_vocab_size=64).items()
+        if not k.startswith("visual.")
+    }
+    sd.update(text_only)
+    return sd
+
+
+def _rn_parity(cfg: clip_mod.CLIPConfig, batch: int, seed: int, tol: float):
+    v = cfg.vision
+    torch.manual_seed(seed)
+    oracle = torch_ref.ModifiedResNetTorch(
+        layers=v.layers,
+        output_dim=v.output_dim,
+        heads=v.heads,
+        input_resolution=v.image_size,
+        width=v.width,
+    )
+    torch_ref.randomize_bn_stats(oracle, seed=seed)
+    oracle.eval()
+
+    rng = np.random.default_rng(seed)
+    images = rng.standard_normal((batch, v.image_size, v.image_size, 3)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(images).permute(0, 3, 1, 2)).numpy()
+
+    params = clip_from_openai(_openai_rn_state_dict(oracle, cfg), cfg)
+    got = np.asarray(
+        jax.jit(lambda p, im: clip_mod.encode_image(p, cfg, im))(
+            params, jnp.asarray(images)
+        )
+    )
+    assert got.shape == want.shape == (batch, v.output_dim)
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol * np.abs(want).max())
+
+
+def test_tiny_resnet_matches_torch():
+    _rn_parity(TINY_RN, batch=3, seed=0, tol=2e-5)
+
+
+def test_rn50_full_size_matches_torch():
+    """Production RN50 dims (width 64, (3,4,6,3), 224px, 32-head attnpool,
+    1024-d output) — the converter's downsample/attnpool naming and the
+    NHWC conv/BN/avgpool chain at real depth."""
+    _rn_parity(clip_mod.CLIP_RN50, batch=2, seed=1, tol=2e-4)
+
+
+def test_named_rn_configs():
+    """Dims of the published checkpoints (clip's build_model derivations:
+    attnpool heads = width*32//64, text heads = width//64, grid = size/32)."""
+    expect = {
+        "RN50": (64, (3, 4, 6, 3), 224, 1024),
+        "RN101": (64, (3, 4, 23, 3), 224, 512),
+        "RN50x4": (80, (4, 6, 10, 6), 288, 640),
+        "RN50x16": (96, (6, 8, 18, 8), 384, 768),
+        "RN50x64": (128, (3, 15, 36, 10), 448, 1024),
+    }
+    for name, (width, layers, size, out) in expect.items():
+        cfg = clip_mod.NAMED_CONFIGS[name]
+        v = cfg.vision
+        assert isinstance(v, clip_mod.CLIPResNetVisionConfig)
+        assert (v.width, v.layers, v.image_size, v.output_dim) == (
+            width,
+            layers,
+            size,
+            out,
+        )
+        assert v.heads == v.width * 32 // 64
+        assert v.embed_dim == v.width * 32
+        assert v.feature_grid == v.image_size // 32
+        assert cfg.text.output_dim == out
+        assert cfg.text.heads == cfg.text.width // 64
+
+
+def test_init_shapes_roundtrip_with_converter():
+    """clip_init's RN tree must match the converted tree leaf-for-leaf
+    (checkpoint restore targets are built from init)."""
+    torch.manual_seed(2)
+    v = TINY_RN.vision
+    oracle = torch_ref.ModifiedResNetTorch(
+        layers=v.layers,
+        output_dim=v.output_dim,
+        heads=v.heads,
+        input_resolution=v.image_size,
+        width=v.width,
+    )
+    converted = clip_from_openai(_openai_rn_state_dict(oracle), TINY_RN)
+    initialized = clip_mod.clip_init(jax.random.key(0), TINY_RN)
+    c_paths = jax.tree_util.tree_flatten_with_path(converted)[0]
+    i_paths = jax.tree_util.tree_flatten_with_path(initialized)[0]
+    assert [(p, leaf.shape) for p, leaf in c_paths] == [
+        (p, leaf.shape) for p, leaf in i_paths
+    ]
+
+
+def test_model_level_custom_resnet(tmp_path):
+    """SpeechCLIPModel with a custom RN vision tower: construction,
+    forward_image at the RN input resolution, and the trainable-image
+    guard (inference-mode BN cannot be trained)."""
+    from tests.test_models import tiny_speechclip_config
+    from speechclip_tpu.models.speechclip import SpeechCLIPModel
+
+    cfg = tiny_speechclip_config(tmp_path)
+    cfg.clip.custom.vision = ConfigNode(
+        {
+            "arch": "resnet",
+            "image_size": 64,
+            "width": 8,
+            "layers": [1, 1, 1, 1],
+            "heads": 4,
+            "output_dim": 16,
+        }
+    )
+    model = SpeechCLIPModel(cfg)
+    assert isinstance(model.clip_cfg.vision, clip_mod.CLIPResNetVisionConfig)
+    assert model.clip_cfg.vision.image_size == 64
+    params, state = model.init(jax.random.key(0))
+    images = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 64, 64, 3)).astype(np.float32)
+    )
+    feat = model.forward_image(params, images)
+    assert feat.shape == (2, 16)
+    assert np.isfinite(np.asarray(feat)).all()
+
+    cfg.clip.image_encoder_trainable = True
+    with pytest.raises(NotImplementedError, match="RN"):
+        SpeechCLIPModel(cfg)
