@@ -1,0 +1,353 @@
+"""Dynamic-batching serving runtime over the AOT export artifacts.
+
+The reference has no serving story — inference means importing the full
+training repo (reference example.py:10-40). `export.py` already produces
+self-contained StableHLO artifacts; this module is the runtime that turns
+them into a service:
+
+- ``MicroBatcher`` — a request coalescer: concurrent single-item requests
+  are gathered into one device batch (up to ``max_batch``, waiting at most
+  ``max_wait_ms`` after the first arrival). Dynamic batching is what makes
+  a TPU serve interactive traffic at batch-N efficiency — the MXU is
+  hopeless at batch 1.
+- ``EncoderService`` — loads the exported encoders, introspects their
+  input shapes (fixed or batch-polymorphic), pads speech to the artifact's
+  static wav length (exact: the model masks by ``wav_len``), pads partial
+  batches for fixed-batch artifacts and slices the results back.
+- an HTTP front end (stdlib ``ThreadingHTTPServer``; zero dependencies):
+
+    python -m speechclip_tpu.serving --artifacts exports/ --port 8787
+
+  POST /encode_speech   body: .npy float32 1-D waveform (16 kHz)
+  POST /encode_image    body: JPEG bytes, or .npy uint8 (H, W, 3) any
+                        size, or .npy float32 already CLIP-preprocessed
+  GET  /healthz         endpoint + batching stats
+
+Responses are JSON ``{"features": {name: nested_list}}``. Each HTTP
+request is one item in the micro-batch; issue concurrent requests to fill
+device batches.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+class MicroBatcher:
+    """Coalesce concurrent single-item requests into device batches.
+
+    ``batch_fn(items) -> list_of_results`` runs on a dedicated worker
+    thread; ``submit`` returns a Future. After the first item of a batch
+    arrives, the worker waits at most ``max_wait_ms`` for more, capping at
+    ``max_batch`` items per call.
+    """
+
+    def __init__(
+        self,
+        batch_fn: Callable[[List], List],
+        max_batch: int = 8,
+        max_wait_ms: float = 5.0,
+        name: str = "",
+    ):
+        self._fn = batch_fn
+        self.max_batch = int(max_batch)
+        self._max_wait = max_wait_ms / 1e3
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self.batches_run = 0
+        self.items_run = 0
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name=f"microbatcher-{name}"
+        )
+        self._thread.start()
+
+    def submit(self, item) -> Future:
+        if self._stop.is_set():
+            raise RuntimeError("MicroBatcher is closed")
+        fut: Future = Future()
+        self._q.put((item, fut))
+        return fut
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                pairs = [self._q.get(timeout=0.1)]
+            except queue.Empty:
+                continue
+            deadline = time.monotonic() + self._max_wait
+            while len(pairs) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    pairs.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            items = [it for it, _ in pairs]
+            futs = [f for _, f in pairs]
+            try:
+                results = self._fn(items)
+                for fut, res in zip(futs, results):
+                    fut.set_result(res)
+            except Exception as exc:  # surface to every waiter
+                for fut in futs:
+                    fut.set_exception(exc)
+            self.batches_run += 1
+            self.items_run += len(items)
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+
+
+def _static_dim(d) -> Optional[int]:
+    """int for a concrete aval dim, None for a symbolic (polymorphic) one."""
+    return int(d) if isinstance(d, (int, np.integer)) else None
+
+
+class EncoderService:
+    """The exported encoders as padded, micro-batched callables."""
+
+    def __init__(
+        self,
+        artifact_dir: str,
+        max_batch: Optional[int] = None,
+        max_wait_ms: float = 5.0,
+    ):
+        import os
+
+        from jax import export as jexport
+
+        self._exported: Dict = {}
+        for name in ("encode_speech", "encode_image", "encode_text"):
+            path = os.path.join(artifact_dir, f"{name}.stablehlo")
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    self._exported[name] = jexport.deserialize(f.read())
+        if not self._exported:
+            raise FileNotFoundError(
+                f"no *.stablehlo artifacts under {artifact_dir} "
+                "(produce them with python -m speechclip_tpu.export)"
+            )
+
+        self.batchers: Dict[str, MicroBatcher] = {}
+        if "encode_speech" in self._exported:
+            wav_aval = self._exported["encode_speech"].in_avals[0]
+            self.fixed_batch_speech = _static_dim(wav_aval.shape[0])
+            self.wav_samples = int(wav_aval.shape[1])
+            self.batchers["encode_speech"] = MicroBatcher(
+                self._speech_batch,
+                max_batch=max_batch or self.fixed_batch_speech or 8,
+                max_wait_ms=max_wait_ms,
+                name="speech",
+            )
+        if "encode_image" in self._exported:
+            img_aval = self._exported["encode_image"].in_avals[0]
+            self.fixed_batch_image = _static_dim(img_aval.shape[0])
+            self.image_size = int(img_aval.shape[1])
+            self.batchers["encode_image"] = MicroBatcher(
+                self._image_batch,
+                max_batch=max_batch or self.fixed_batch_image or 8,
+                max_wait_ms=max_wait_ms,
+                name="image",
+            )
+
+    # ------------------------------------------------------------ speech
+    def encode_speech(self, wav: np.ndarray) -> Dict[str, np.ndarray]:
+        """One waveform (float32 1-D) -> feature dict; micro-batched."""
+        return self.batchers["encode_speech"].submit(wav).result()
+
+    def _speech_batch(self, wavs: Sequence[np.ndarray]) -> List[Dict]:
+        n = len(wavs)
+        s = self.wav_samples
+        wav_arr = np.zeros((n, s), np.float32)
+        wav_len = np.empty((n,), np.int32)
+        for i, w in enumerate(wavs):
+            w = np.asarray(w, np.float32).reshape(-1)[:s]  # crop overlong
+            wav_arr[i, : len(w)] = w
+            wav_len[i] = len(w)
+        wav_arr, wav_len = self._pad_rows(
+            wav_arr, wav_len, self.fixed_batch_speech, pad_len=s
+        )
+        out = self._exported["encode_speech"].call(wav_arr, wav_len)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        return [{k: v[i] for k, v in out.items()} for i in range(n)]
+
+    # ------------------------------------------------------------- image
+    def encode_image(self, image) -> np.ndarray:
+        """JPEG bytes / uint8 (H, W, 3) / preprocessed f32 -> feature."""
+        return (
+            self.batchers["encode_image"].submit(self.preprocess_image(image))
+            .result()
+        )
+
+    def preprocess_image(self, image) -> np.ndarray:
+        """-> (size, size, 3) float32, CLIP-normalized (host path — the
+        artifact was traced with f32 input, data/image.py contract)."""
+        from .data.image import clip_preprocess_pil
+
+        if isinstance(image, (bytes, bytearray)):
+            from PIL import Image
+
+            return clip_preprocess_pil(
+                Image.open(io.BytesIO(image)), self.image_size
+            )
+        image = np.asarray(image)
+        if image.dtype == np.uint8:
+            from PIL import Image
+
+            return clip_preprocess_pil(Image.fromarray(image), self.image_size)
+        expect = (self.image_size, self.image_size, 3)
+        if image.shape != expect:
+            raise ValueError(
+                f"float image must be preprocessed to {expect}, got {image.shape}"
+            )
+        return image.astype(np.float32)
+
+    def _image_batch(self, images: Sequence[np.ndarray]) -> List[np.ndarray]:
+        n = len(images)
+        arr = np.stack([np.asarray(im, np.float32) for im in images])
+        arr, _ = self._pad_rows(arr, None, self.fixed_batch_image)
+        out = np.asarray(self._exported["encode_image"].call(arr))
+        return [out[i] for i in range(n)]
+
+    # ----------------------------------------------------------- helpers
+    @staticmethod
+    def _pad_rows(arr, lens, fixed_batch, pad_len=None):
+        """Pad a partial batch up to a fixed-batch artifact's size (zero
+        rows, full valid length so masks stay well-formed); polymorphic
+        artifacts pass through."""
+        if fixed_batch is None or arr.shape[0] == fixed_batch:
+            return arr, lens
+        if arr.shape[0] > fixed_batch:
+            raise ValueError(
+                f"batch {arr.shape[0]} exceeds the artifact's fixed batch "
+                f"{fixed_batch}"
+            )
+        pad = fixed_batch - arr.shape[0]
+        arr = np.concatenate(
+            [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)], axis=0
+        )
+        if lens is not None:
+            lens = np.concatenate(
+                [lens, np.full((pad,), pad_len, lens.dtype)], axis=0
+            )
+        return arr, lens
+
+    def stats(self) -> Dict:
+        return {
+            name: {
+                "batches": b.batches_run,
+                "items": b.items_run,
+                "max_batch": b.max_batch,
+            }
+            for name, b in self.batchers.items()
+        }
+
+    def close(self):
+        for b in self.batchers.values():
+            b.close()
+
+
+# ---------------------------------------------------------------------------
+# HTTP front end (stdlib only)
+# ---------------------------------------------------------------------------
+def make_http_server(service: EncoderService, host: str = "0.0.0.0", port: int = 8787):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet; stats live in /healthz
+            pass
+
+        def _reply(self, code: int, payload: Dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/healthz"):
+                self._reply(
+                    200,
+                    {
+                        "status": "ok",
+                        "endpoints": sorted(service.batchers),
+                        "stats": service.stats(),
+                    },
+                )
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            try:
+                if self.path.startswith("/encode_speech"):
+                    wav = np.load(io.BytesIO(body), allow_pickle=False)
+                    feats = service.encode_speech(wav)
+                    self._reply(
+                        200,
+                        {"features": {k: v.tolist() for k, v in feats.items()}},
+                    )
+                elif self.path.startswith("/encode_image"):
+                    if body[:2] == b"\xff\xd8":  # JPEG magic
+                        payload = bytes(body)
+                    else:
+                        payload = np.load(io.BytesIO(body), allow_pickle=False)
+                    feat = service.encode_image(payload)
+                    self._reply(200, {"features": {"image_feat": feat.tolist()}})
+                else:
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+            except Exception as exc:
+                self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main():
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--artifacts", required=True, help="dir of *.stablehlo")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8787)
+    parser.add_argument("--max-batch", type=int, default=None)
+    parser.add_argument("--max-wait-ms", type=float, default=5.0)
+    parser.add_argument(
+        "--platform",
+        default=None,
+        help="jax platform override (e.g. cpu; see CLAUDE.md env gotchas)",
+    )
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    service = EncoderService(
+        args.artifacts, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+    )
+    server = make_http_server(service, args.host, args.port)
+    names = ", ".join(sorted(service.batchers))
+    print(f"serving {names} on {args.host}:{args.port}", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        service.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,206 @@
+"""Serving runtime (speechclip_tpu/serving.py): micro-batching, padded
+fixed-batch artifacts, polymorphic artifacts, and the HTTP front end —
+all on CPU with tiny exported models."""
+
+import http.client
+import io
+import json
+import os
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from speechclip_tpu.export import (
+    export_encode_image,
+    export_encode_speech,
+)
+from speechclip_tpu.models.speechclip import SpeechCLIPModel
+from speechclip_tpu.serving import EncoderService, MicroBatcher, make_http_server
+from tests.test_models import tiny_speechclip_config
+
+
+@pytest.fixture(scope="module")
+def model_and_state(tmp_path_factory):
+    model = SpeechCLIPModel(
+        tiny_speechclip_config(tmp_path_factory.mktemp("srv_cfg"))
+    )
+    params, state = model.init(jax.random.key(0))
+    return model, params, state
+
+
+def _write_artifacts(model, params, state, out_dir, polymorphic):
+    os.makedirs(out_dir, exist_ok=True)
+    blobs = {
+        "encode_speech": export_encode_speech(
+            model, params, state, batch_size=4, wav_samples=2000,
+            platforms=("cpu",), polymorphic_batch=polymorphic,
+        ),
+        "encode_image": export_encode_image(
+            model, params, batch_size=4, platforms=("cpu",),
+            polymorphic_batch=polymorphic,
+        ),
+    }
+    for name, blob in blobs.items():
+        with open(os.path.join(out_dir, f"{name}.stablehlo"), "wb") as f:
+            f.write(blob)
+
+
+@pytest.fixture(scope="module", params=[False, True], ids=["fixed", "poly"])
+def service(request, model_and_state, tmp_path_factory):
+    model, params, state = model_and_state
+    out = tmp_path_factory.mktemp(f"artifacts_{request.param}")
+    _write_artifacts(model, params, state, str(out), request.param)
+    svc = EncoderService(str(out), max_wait_ms=30.0)
+    yield svc
+    svc.close()
+
+
+class TestMicroBatcher:
+    def test_coalesces_concurrent_requests(self):
+        calls = []
+
+        def batch_fn(items):
+            calls.append(len(items))
+            return [x * 2 for x in items]
+
+        b = MicroBatcher(batch_fn, max_batch=4, max_wait_ms=50.0)
+        futs = [b.submit(i) for i in range(8)]
+        assert [f.result(timeout=5) for f in futs] == [2 * i for i in range(8)]
+        # 8 items, cap 4, 50 ms window -> at most 4 device calls and at
+        # least one multi-item batch (the point of the coalescer)
+        assert sum(calls) == 8
+        assert len(calls) <= 4
+        assert max(calls) > 1
+        b.close()
+
+    def test_batch_fn_error_propagates_to_every_waiter(self):
+        def batch_fn(items):
+            raise ValueError("boom")
+
+        b = MicroBatcher(batch_fn, max_batch=2, max_wait_ms=10.0)
+        futs = [b.submit(i) for i in range(2)]
+        for f in futs:
+            with pytest.raises(ValueError, match="boom"):
+                f.result(timeout=5)
+        b.close()
+
+
+class TestEncoderService:
+    def test_speech_features_match_direct_call(self, service, model_and_state):
+        model, params, state = model_and_state
+        rng = np.random.default_rng(0)
+        wav = rng.standard_normal(1500).astype(np.float32)
+        got = service.encode_speech(wav)
+
+        import jax.numpy as jnp
+
+        padded = np.zeros((1, 2000), np.float32)
+        padded[0, :1500] = wav
+        want = model.encode_speech(
+            params, state, jnp.asarray(padded), jnp.asarray([1500])
+        )
+        for key in ("parallel_audio_feat", "cascaded_audio_feat"):
+            np.testing.assert_allclose(
+                got[key], np.asarray(want[key])[0], atol=1e-5
+            )
+
+    def test_concurrent_speech_requests_batch_together(self, service):
+        rng = np.random.default_rng(1)
+        wavs = [
+            rng.standard_normal(n).astype(np.float32)
+            for n in (800, 1200, 2000, 2600)  # 2600 exceeds -> cropped
+        ]
+        before = service.batchers["encode_speech"].batches_run
+        results = [None] * len(wavs)
+
+        def worker(i):
+            results[i] = service.encode_speech(wavs[i])
+
+        threads = [
+            threading.Thread(target=worker, args=(i,)) for i in range(len(wavs))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        ran = service.batchers["encode_speech"].batches_run - before
+        assert 1 <= ran < len(wavs)  # coalesced into fewer device calls
+        for r in results:
+            assert r is not None
+            assert np.isfinite(r["parallel_audio_feat"]).all()
+
+    def test_image_payload_forms_agree(self, service):
+        rng = np.random.default_rng(2)
+        uint8_img = rng.integers(0, 256, (48, 40, 3), dtype=np.uint8)
+        pre = service.preprocess_image(uint8_img)
+        assert pre.shape == (service.image_size, service.image_size, 3)
+        feat_pre = service.encode_image(pre)
+        feat_u8 = service.encode_image(uint8_img)
+        np.testing.assert_allclose(feat_pre, feat_u8, atol=1e-6)
+        assert feat_pre.shape[-1] == 16
+
+    def test_large_batch_contract(self, service):
+        """Fixed-batch artifacts reject overflow loudly; polymorphic
+        artifacts take any batch size (that's their point)."""
+        wavs = [np.zeros(100, np.float32)] * 8
+        if service.fixed_batch_speech is None:
+            outs = service._speech_batch(wavs)
+            assert len(outs) == 8
+        else:
+            with pytest.raises(ValueError, match="exceeds"):
+                service._speech_batch(wavs)
+
+
+class TestHTTPServer:
+    @pytest.fixture()
+    def http_service(self, service):
+        server = make_http_server(service, host="127.0.0.1", port=0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        yield server.server_address
+        server.shutdown()
+
+    def _post_npy(self, addr, path, arr):
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        conn = http.client.HTTPConnection(*addr, timeout=30)
+        conn.request("POST", path, body=buf.getvalue())
+        resp = conn.getresponse()
+        out = json.loads(resp.read())
+        conn.close()
+        return resp.status, out
+
+    def test_healthz(self, http_service):
+        conn = http.client.HTTPConnection(*http_service, timeout=10)
+        conn.request("GET", "/healthz")
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        conn.close()
+        assert resp.status == 200 and body["status"] == "ok"
+        assert "encode_speech" in body["endpoints"]
+
+    def test_encode_speech_endpoint(self, http_service):
+        wav = np.random.default_rng(3).standard_normal(1000).astype(np.float32)
+        status, body = self._post_npy(http_service, "/encode_speech", wav)
+        assert status == 200, body
+        feat = np.asarray(body["features"]["parallel_audio_feat"])
+        assert feat.shape == (16,) and np.isfinite(feat).all()
+
+    def test_encode_image_endpoint_uint8(self, http_service):
+        img = np.random.default_rng(4).integers(
+            0, 256, (64, 64, 3), dtype=np.uint8
+        )
+        status, body = self._post_npy(http_service, "/encode_image", img)
+        assert status == 200, body
+        assert len(body["features"]["image_feat"]) == 16
+
+    def test_bad_payload_is_a_clean_400(self, http_service):
+        conn = http.client.HTTPConnection(*http_service, timeout=10)
+        conn.request("POST", "/encode_speech", body=b"not an npy")
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        conn.close()
+        assert resp.status == 400 and "error" in body
