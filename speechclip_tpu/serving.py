@@ -21,6 +21,8 @@ them into a service:
   POST /encode_speech   body: .npy float32 1-D waveform (16 kHz)
   POST /encode_image    body: JPEG bytes, or .npy uint8 (H, W, 3) any
                         size, or .npy float32 already CLIP-preprocessed
+  POST /encode_text     body: JSON {"token_ids": [...], "eot_position": N}
+                        (reduced-vocab ids for reduced-vocab exports)
   GET  /healthz         endpoint + batching stats
 
 Responses are JSON ``{"features": {name: nested_list}}``. Each HTTP
@@ -159,6 +161,16 @@ class EncoderService:
                 max_wait_ms=max_wait_ms,
                 name="image",
             )
+        if "encode_text" in self._exported:
+            txt_aval = self._exported["encode_text"].in_avals[0]
+            self.fixed_batch_text = _static_dim(txt_aval.shape[0])
+            self.context_length = int(txt_aval.shape[1])
+            self.batchers["encode_text"] = MicroBatcher(
+                self._text_batch,
+                max_batch=max_batch or self.fixed_batch_text or 8,
+                max_wait_ms=max_wait_ms,
+                name="text",
+            )
 
     # ------------------------------------------------------------ speech
     def encode_speech(self, wav: np.ndarray) -> Dict[str, np.ndarray]:
@@ -217,6 +229,32 @@ class EncoderService:
         arr = np.stack([np.asarray(im, np.float32) for im in images])
         arr, _ = self._pad_rows(arr, None, self.fixed_batch_image)
         out = np.asarray(self._exported["encode_image"].call(arr))
+        return [out[i] for i in range(n)]
+
+    # -------------------------------------------------------------- text
+    def encode_text(self, token_ids: np.ndarray, eot_position: int) -> np.ndarray:
+        """One tokenized caption ((context_length,) int ids — reduced ids
+        for reduced-vocab exports — plus its EOT index) -> text feature."""
+        ids = np.asarray(token_ids, np.int32).reshape(-1)
+        if len(ids) > self.context_length:
+            raise ValueError(
+                f"{len(ids)} token ids exceed the artifact's context "
+                f"{self.context_length}"
+            )
+        padded = np.zeros((self.context_length,), np.int32)
+        padded[: len(ids)] = ids
+        return (
+            self.batchers["encode_text"]
+            .submit((padded, int(eot_position)))
+            .result()
+        )
+
+    def _text_batch(self, items: Sequence) -> List[np.ndarray]:
+        n = len(items)
+        ids = np.stack([ids for ids, _ in items])
+        eots = np.asarray([eot for _, eot in items], np.int32)
+        ids, eots = self._pad_rows(ids, eots, self.fixed_batch_text, pad_len=0)
+        out = np.asarray(self._exported["encode_text"].call(ids, eots))
         return [out[i] for i in range(n)]
 
     # ----------------------------------------------------------- helpers
@@ -299,6 +337,13 @@ def make_http_server(service: EncoderService, host: str = "0.0.0.0", port: int =
                         200,
                         {"features": {k: v.tolist() for k, v in feats.items()}},
                     )
+                elif self.path.startswith("/encode_text"):
+                    req = json.loads(body)
+                    feat = service.encode_text(
+                        np.asarray(req["token_ids"], np.int32),
+                        int(req["eot_position"]),
+                    )
+                    self._reply(200, {"features": {"text_feat": feat.tolist()}})
                 elif self.path.startswith("/encode_image"):
                     if body[:2] == b"\xff\xd8":  # JPEG magic
                         payload = bytes(body)

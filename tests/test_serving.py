@@ -16,6 +16,7 @@ import jax
 from speechclip_tpu.export import (
     export_encode_image,
     export_encode_speech,
+    export_encode_text,
 )
 from speechclip_tpu.models.speechclip import SpeechCLIPModel
 from speechclip_tpu.serving import EncoderService, MicroBatcher, make_http_server
@@ -39,6 +40,10 @@ def _write_artifacts(model, params, state, out_dir, polymorphic):
             platforms=("cpu",), polymorphic_batch=polymorphic,
         ),
         "encode_image": export_encode_image(
+            model, params, batch_size=4, platforms=("cpu",),
+            polymorphic_batch=polymorphic,
+        ),
+        "encode_text": export_encode_text(
             model, params, batch_size=4, platforms=("cpu",),
             polymorphic_batch=polymorphic,
         ),
@@ -142,6 +147,22 @@ class TestEncoderService:
         np.testing.assert_allclose(feat_pre, feat_u8, atol=1e-6)
         assert feat_pre.shape[-1] == 16
 
+    def test_text_features_match_direct_call(self, service, model_and_state):
+        model, params, state = model_and_state
+        import jax.numpy as jnp
+
+        ids = np.zeros((77,), np.int32)
+        ids[0] = model.sot_id
+        ids[1:4] = [5, 6, 7]
+        ids[4] = model.eot_id
+        got = service.encode_text(ids, eot_position=4)
+        want = model.forward_text(
+            params, jnp.asarray(ids[None]), jnp.asarray([4], np.int32)
+        )
+        np.testing.assert_allclose(got, np.asarray(want)[0], atol=1e-5)
+        with pytest.raises(ValueError, match="context"):
+            service.encode_text(np.zeros(100, np.int32), 0)
+
     def test_large_batch_contract(self, service):
         """Fixed-batch artifacts reject overflow loudly; polymorphic
         artifacts take any batch size (that's their point)."""
@@ -196,6 +217,23 @@ class TestHTTPServer:
         status, body = self._post_npy(http_service, "/encode_image", img)
         assert status == 200, body
         assert len(body["features"]["image_feat"]) == 16
+
+    def test_encode_text_endpoint(self, http_service, model_and_state):
+        model, _, _ = model_and_state
+        payload = json.dumps(
+            {
+                "token_ids": [int(model.sot_id), 5, int(model.eot_id)],
+                "eot_position": 2,
+            }
+        ).encode()
+        conn = http.client.HTTPConnection(*http_service, timeout=30)
+        conn.request("POST", "/encode_text", body=payload)
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        conn.close()
+        assert resp.status == 200, body
+        feat = np.asarray(body["features"]["text_feat"])
+        assert feat.shape == (16,) and np.isfinite(feat).all()
 
     def test_bad_payload_is_a_clean_400(self, http_service):
         conn = http.client.HTTPConnection(*http_service, timeout=10)
