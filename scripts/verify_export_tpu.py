@@ -26,14 +26,22 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-args = [a for a in sys.argv[1:] if a != "--full"]
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
 FULL = "--full" in sys.argv[1:]
+# --platform=cpu: smoke the whole drive off-TPU (e.g. during tunnel outages)
+PLATFORM = next(
+    (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--platform=")),
+    None,
+)
 BATCH = int(args[0]) if len(args) > 0 else 8
 WAV_SAMPLES = int(args[1]) if len(args) > 1 else 16000
 
 
 def main():
     import jax
+
+    if PLATFORM:
+        jax.config.update("jax_platforms", PLATFORM)
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_config
@@ -137,6 +145,48 @@ def main():
             f"{t_warm*1e3:.1f} ms, checksum finite",
             flush=True,
         )
+    # --- serving runtime over the same artifacts (speechclip_tpu/serving) ---
+    import os
+    import tempfile
+    import threading
+
+    from speechclip_tpu.serving import EncoderService
+
+    art_dir = tempfile.mkdtemp(prefix="serve_drive_")
+    for name, exporter, _ in cases:
+        with open(os.path.join(art_dir, f"{name}.stablehlo"), "wb") as f:
+            f.write(exporter())
+    svc = EncoderService(art_dir, max_wait_ms=20.0)
+    single = rng.standard_normal(WAV_SAMPLES).astype(np.float32)
+    t0 = time.perf_counter()
+    svc.encode_speech(single)  # first request: platform compile
+    t_first = time.perf_counter() - t0
+    n_req = 8
+    results = [None] * n_req
+    threads = [
+        threading.Thread(
+            target=lambda i=i: results.__setitem__(i, svc.encode_speech(single))
+        )
+        for i in range(n_req)
+    ]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    t_conc = time.perf_counter() - t0
+    stats = svc.stats()["encode_speech"]
+    assert all(
+        r is not None and np.isfinite(r["parallel_audio_feat"]).all()
+        for r in results
+    )
+    svc.close()
+    print(
+        f"serving: first request {t_first:.1f} s, {n_req} concurrent requests "
+        f"{t_conc*1e3:.0f} ms in {stats['batches'] - 1} device batch(es) "
+        f"(mean batch {(stats['items'] - 1) / max(stats['batches'] - 1, 1):.1f})",
+        flush=True,
+    )
     print("export TPU drive OK", flush=True)
 
 
