@@ -168,7 +168,16 @@ def main():
     parser.add_argument("--ckpt", required=True)
     parser.add_argument("--out", required=True)
     parser.add_argument("--batch", type=int, default=8)
-    parser.add_argument("--wav-samples", type=int, default=102400)
+    parser.add_argument(
+        "--wav-samples",
+        type=int,
+        nargs="+",
+        default=[102400],
+        help="one artifact per wav length (serving buckets); a single "
+        "value writes encode_speech.stablehlo, several write "
+        "encode_speech@<n>.stablehlo each — the serving runtime routes "
+        "requests to the smallest bucket that fits",
+    )
     parser.add_argument("--platform", default=None)
     parser.add_argument("--polymorphic-batch", action="store_true")
     parser.add_argument(
@@ -211,18 +220,23 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     poly = args.polymorphic_batch
-    blobs = {
-        "encode_speech": export_encode_speech(
-            model, params, state, args.batch, args.wav_samples,
+    blobs = {}
+    for wav_samples in args.wav_samples:
+        name = (
+            "encode_speech"
+            if len(args.wav_samples) == 1
+            else f"encode_speech@{wav_samples}"
+        )
+        blobs[name] = export_encode_speech(
+            model, params, state, args.batch, wav_samples,
             polymorphic_batch=poly,
-        ),
-        "encode_image": export_encode_image(
-            model, params, args.batch, polymorphic_batch=poly
-        ),
-        "encode_text": export_encode_text(
-            model, params, args.batch, polymorphic_batch=poly
-        ),
-    }
+        )
+    blobs["encode_image"] = export_encode_image(
+        model, params, args.batch, polymorphic_batch=poly
+    )
+    blobs["encode_text"] = export_encode_text(
+        model, params, args.batch, polymorphic_batch=poly
+    )
     for name, blob in blobs.items():
         path = os.path.join(args.out, f"{name}.stablehlo")
         with open(path, "wb") as f:

@@ -13,7 +13,11 @@ them into a service:
 - ``EncoderService`` — loads the exported encoders, introspects their
   input shapes (fixed or batch-polymorphic), pads speech to the artifact's
   static wav length (exact: the model masks by ``wav_len``), pads partial
-  batches for fixed-batch artifacts and slices the results back.
+  batches for fixed-batch artifacts and slices the results back. Several
+  ``encode_speech@<n>.stablehlo`` artifacts form wav-length buckets
+  (export with ``--wav-samples n1 n2 ...``): each request routes to the
+  smallest bucket that fits — the bucketed-loader design carried into
+  serving, so short utterances don't pay long-bucket compute.
 - an HTTP front end (stdlib ``ThreadingHTTPServer``; zero dependencies):
 
     python -m speechclip_tpu.serving --artifacts exports/ --port 8787
@@ -129,28 +133,54 @@ class EncoderService:
         from jax import export as jexport
 
         self._exported: Dict = {}
-        for name in ("encode_speech", "encode_image", "encode_text"):
-            path = os.path.join(artifact_dir, f"{name}.stablehlo")
-            if os.path.exists(path):
-                with open(path, "rb") as f:
-                    self._exported[name] = jexport.deserialize(f.read())
-        if not self._exported:
+        speech_artifacts = []
+        for fname in sorted(os.listdir(artifact_dir)):
+            if not fname.endswith(".stablehlo"):
+                continue
+            stem = fname[: -len(".stablehlo")]
+            with open(os.path.join(artifact_dir, fname), "rb") as f:
+                exported = jexport.deserialize(f.read())
+            if stem.startswith("encode_speech"):
+                # bucket length comes from the artifact's own aval, not the
+                # filename suffix (encode_speech@<n> is just a convention)
+                speech_artifacts.append(exported)
+            elif stem in ("encode_image", "encode_text"):
+                self._exported[stem] = exported
+        if not self._exported and not speech_artifacts:
             raise FileNotFoundError(
                 f"no *.stablehlo artifacts under {artifact_dir} "
                 "(produce them with python -m speechclip_tpu.export)"
             )
 
         self.batchers: Dict[str, MicroBatcher] = {}
-        if "encode_speech" in self._exported:
-            wav_aval = self._exported["encode_speech"].in_avals[0]
-            self.fixed_batch_speech = _static_dim(wav_aval.shape[0])
-            self.wav_samples = int(wav_aval.shape[1])
-            self.batchers["encode_speech"] = MicroBatcher(
-                self._speech_batch,
-                max_batch=max_batch or self.fixed_batch_speech or 8,
-                max_wait_ms=max_wait_ms,
-                name="speech",
+        # speech buckets (bucketed-loader design carried into serving): one
+        # artifact per static wav length; requests route to the smallest
+        # bucket that fits, overlong audio crops to the largest
+        self._speech_buckets: List[Dict] = []
+        speech_artifacts.sort(key=lambda e: int(e.in_avals[0].shape[1]))
+        for exported in speech_artifacts:
+            wav_aval = exported.in_avals[0]
+            bucket = {
+                "exported": exported,
+                "wav_samples": int(wav_aval.shape[1]),
+                "fixed_batch": _static_dim(wav_aval.shape[0]),
+            }
+            name = (
+                "encode_speech"
+                if len(speech_artifacts) == 1
+                else f"encode_speech@{bucket['wav_samples']}"
             )
+            bucket["batcher"] = self.batchers[name] = MicroBatcher(
+                lambda wavs, b=bucket: self._speech_batch(wavs, b),
+                max_batch=max_batch or bucket["fixed_batch"] or 8,
+                max_wait_ms=max_wait_ms,
+                name=name,
+            )
+            self._speech_buckets.append(bucket)
+        if self._speech_buckets:
+            # single-bucket conveniences (and back-compat surface)
+            self.wav_samples = self._speech_buckets[-1]["wav_samples"]
+            self.fixed_batch_speech = self._speech_buckets[-1]["fixed_batch"]
         if "encode_image" in self._exported:
             img_aval = self._exported["encode_image"].in_avals[0]
             self.fixed_batch_image = _static_dim(img_aval.shape[0])
@@ -174,12 +204,21 @@ class EncoderService:
 
     # ------------------------------------------------------------ speech
     def encode_speech(self, wav: np.ndarray) -> Dict[str, np.ndarray]:
-        """One waveform (float32 1-D) -> feature dict; micro-batched."""
-        return self.batchers["encode_speech"].submit(wav).result()
+        """One waveform (float32 1-D) -> feature dict; micro-batched within
+        the wav-length bucket the request routes to."""
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        return self._route_speech(len(wav))["batcher"].submit(wav).result()
 
-    def _speech_batch(self, wavs: Sequence[np.ndarray]) -> List[Dict]:
+    def _route_speech(self, n_samples: int) -> Dict:
+        """Smallest bucket that fits; overlong audio -> largest (cropped)."""
+        for bucket in self._speech_buckets:  # sorted ascending
+            if n_samples <= bucket["wav_samples"]:
+                return bucket
+        return self._speech_buckets[-1]
+
+    def _speech_batch(self, wavs: Sequence[np.ndarray], bucket: Dict) -> List[Dict]:
         n = len(wavs)
-        s = self.wav_samples
+        s = bucket["wav_samples"]
         wav_arr = np.zeros((n, s), np.float32)
         wav_len = np.empty((n,), np.int32)
         for i, w in enumerate(wavs):
@@ -187,9 +226,9 @@ class EncoderService:
             wav_arr[i, : len(w)] = w
             wav_len[i] = len(w)
         wav_arr, wav_len = self._pad_rows(
-            wav_arr, wav_len, self.fixed_batch_speech, pad_len=s
+            wav_arr, wav_len, bucket["fixed_batch"], pad_len=s
         )
-        out = self._exported["encode_speech"].call(wav_arr, wav_len)
+        out = bucket["exported"].call(wav_arr, wav_len)
         out = {k: np.asarray(v) for k, v in out.items()}
         return [{k: v[i] for k, v in out.items()} for i in range(n)]
 

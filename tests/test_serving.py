@@ -167,12 +167,63 @@ class TestEncoderService:
         """Fixed-batch artifacts reject overflow loudly; polymorphic
         artifacts take any batch size (that's their point)."""
         wavs = [np.zeros(100, np.float32)] * 8
+        bucket = service._route_speech(100)
         if service.fixed_batch_speech is None:
-            outs = service._speech_batch(wavs)
+            outs = service._speech_batch(wavs, bucket)
             assert len(outs) == 8
         else:
             with pytest.raises(ValueError, match="exceeds"):
-                service._speech_batch(wavs)
+                service._speech_batch(wavs, bucket)
+
+
+class TestMultiBucketServing:
+    def test_requests_route_to_wav_length_buckets(
+        self, model_and_state, tmp_path
+    ):
+        """Several encode_speech@<n> artifacts = serving-side length
+        bucketing (the bucketed-loader design carried into serving):
+        requests go to the smallest bucket that fits, overlong audio
+        crops to the largest."""
+        model, params, state = model_and_state
+        for n in (2000, 4000):
+            blob = export_encode_speech(
+                model, params, state, batch_size=2, wav_samples=n,
+                platforms=("cpu",),
+            )
+            with open(tmp_path / f"encode_speech@{n}.stablehlo", "wb") as f:
+                f.write(blob)
+        svc = EncoderService(str(tmp_path), max_wait_ms=5.0)
+        try:
+            assert sorted(svc.batchers) == [
+                "encode_speech@2000",
+                "encode_speech@4000",
+            ]
+            assert svc._route_speech(1500)["wav_samples"] == 2000
+            assert svc._route_speech(2000)["wav_samples"] == 2000
+            assert svc._route_speech(3000)["wav_samples"] == 4000
+            assert svc._route_speech(9000)["wav_samples"] == 4000  # crop
+
+            rng = np.random.default_rng(7)
+            wav = rng.standard_normal(3000).astype(np.float32)
+            got = svc.encode_speech(wav)
+
+            import jax.numpy as jnp
+
+            padded = np.zeros((1, 4000), np.float32)
+            padded[0, :3000] = wav
+            want = model.encode_speech(
+                params, state, jnp.asarray(padded), jnp.asarray([3000])
+            )
+            np.testing.assert_allclose(
+                got["parallel_audio_feat"],
+                np.asarray(want["parallel_audio_feat"])[0],
+                atol=1e-5,
+            )
+            stats = svc.stats()
+            assert stats["encode_speech@4000"]["items"] == 1
+            assert stats["encode_speech@2000"]["items"] == 0
+        finally:
+            svc.close()
 
 
 class TestHTTPServer:
