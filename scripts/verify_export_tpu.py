@@ -26,13 +26,23 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-FULL = "--full" in sys.argv[1:]
-# --platform=cpu: smoke the whole drive off-TPU (e.g. during tunnel outages)
-PLATFORM = next(
-    (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--platform=")),
-    None,
-)
+# --platform=cpu / --platform cpu: smoke the whole drive off-TPU (e.g.
+# during tunnel outages)
+FULL = False
+PLATFORM = None
+args = []
+_argv = iter(sys.argv[1:])
+for a in _argv:
+    if a == "--full":
+        FULL = True
+    elif a.startswith("--platform="):
+        PLATFORM = a.split("=", 1)[1]
+    elif a == "--platform":
+        PLATFORM = next(_argv, None)
+    elif a.startswith("--"):
+        raise SystemExit(f"unknown flag {a!r} (valid: --full, --platform)")
+    else:
+        args.append(a)
 BATCH = int(args[0]) if len(args) > 0 else 8
 WAV_SAMPLES = int(args[1]) if len(args) > 1 else 16000
 
@@ -121,9 +131,10 @@ def main():
             (text, eots),
         ),
     ]
+    blobs = {}
     for name, exporter, call_args in cases:
         t0 = time.perf_counter()
-        blob = exporter()
+        blob = blobs[name] = exporter()
         t_export = time.perf_counter() - t0
         fn = export_mod.load_exported(blob)
         t0 = time.perf_counter()
@@ -153,9 +164,9 @@ def main():
     from speechclip_tpu.serving import EncoderService
 
     art_dir = tempfile.mkdtemp(prefix="serve_drive_")
-    for name, exporter, _ in cases:
+    for name, blob in blobs.items():  # reuse the already-serialized blobs
         with open(os.path.join(art_dir, f"{name}.stablehlo"), "wb") as f:
-            f.write(exporter())
+            f.write(blob)
     svc = EncoderService(art_dir, max_wait_ms=20.0)
     single = rng.standard_normal(WAV_SAMPLES).astype(np.float32)
     t0 = time.perf_counter()

@@ -77,8 +77,10 @@ def _resolve_clip_cfg(config: ConfigNode):
         vision = dict(custom_clip.vision.to_dict())
         arch = vision.pop("arch", None)
         if arch == "resnet" or isinstance(vision.get("layers"), (list, tuple)):
-            # RN* family: per-stage block counts come as a list
-            vision["layers"] = tuple(vision["layers"])
+            # RN* family: per-stage block counts come as a list (absent ->
+            # the dataclass's RN50 default stages)
+            if "layers" in vision:
+                vision["layers"] = tuple(vision["layers"])
             vision_cfg = clip_mod.CLIPResNetVisionConfig(**vision)
         else:
             vision_cfg = clip_mod.CLIPVisionConfig(**vision)

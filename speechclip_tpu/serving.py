@@ -99,6 +99,10 @@ class MicroBatcher:
                     break
             items = [it for it, _ in pairs]
             futs = [f for _, f in pairs]
+            # count BEFORE resolving futures: callers unblocked by
+            # set_result must observe the batch in the stats
+            self.batches_run += 1
+            self.items_run += len(items)
             try:
                 results = self._fn(items)
                 for fut, res in zip(futs, results):
@@ -106,17 +110,30 @@ class MicroBatcher:
             except Exception as exc:  # surface to every waiter
                 for fut in futs:
                     fut.set_exception(exc)
-            self.batches_run += 1
-            self.items_run += len(items)
 
     def close(self):
         self._stop.set()
         self._thread.join(timeout=2.0)
+        # drain anything still queued (incl. submits that raced _stop) so
+        # no caller blocks forever on Future.result()
+        while True:
+            try:
+                _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            fut.set_exception(RuntimeError("MicroBatcher closed"))
 
 
 def _static_dim(d) -> Optional[int]:
     """int for a concrete aval dim, None for a symbolic (polymorphic) one."""
     return int(d) if isinstance(d, (int, np.integer)) else None
+
+
+def _cap_batch(max_batch: Optional[int], fixed_batch: Optional[int]) -> int:
+    """The micro-batch cap can never exceed a fixed-batch artifact's size —
+    otherwise whole coalesced batches would fail under load."""
+    cap = max_batch or fixed_batch or 8
+    return min(cap, fixed_batch) if fixed_batch is not None else cap
 
 
 class EncoderService:
@@ -158,6 +175,7 @@ class EncoderService:
         # bucket that fits, overlong audio crops to the largest
         self._speech_buckets: List[Dict] = []
         speech_artifacts.sort(key=lambda e: int(e.in_avals[0].shape[1]))
+        seen_lengths = set()
         for exported in speech_artifacts:
             wav_aval = exported.in_avals[0]
             bucket = {
@@ -165,6 +183,18 @@ class EncoderService:
                 "wav_samples": int(wav_aval.shape[1]),
                 "fixed_batch": _static_dim(wav_aval.shape[0]),
             }
+            if bucket["wav_samples"] in seen_lengths:
+                # e.g. a legacy encode_speech.stablehlo next to a re-exported
+                # encode_speech@<n> of the same length — one bucket per length
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "duplicate encode_speech artifact for wav length %d "
+                    "ignored",
+                    bucket["wav_samples"],
+                )
+                continue
+            seen_lengths.add(bucket["wav_samples"])
             name = (
                 "encode_speech"
                 if len(speech_artifacts) == 1
@@ -172,7 +202,7 @@ class EncoderService:
             )
             bucket["batcher"] = self.batchers[name] = MicroBatcher(
                 lambda wavs, b=bucket: self._speech_batch(wavs, b),
-                max_batch=max_batch or bucket["fixed_batch"] or 8,
+                max_batch=_cap_batch(max_batch, bucket["fixed_batch"]),
                 max_wait_ms=max_wait_ms,
                 name=name,
             )
@@ -187,7 +217,7 @@ class EncoderService:
             self.image_size = int(img_aval.shape[1])
             self.batchers["encode_image"] = MicroBatcher(
                 self._image_batch,
-                max_batch=max_batch or self.fixed_batch_image or 8,
+                max_batch=_cap_batch(max_batch, self.fixed_batch_image),
                 max_wait_ms=max_wait_ms,
                 name="image",
             )
@@ -197,7 +227,7 @@ class EncoderService:
             self.context_length = int(txt_aval.shape[1])
             self.batchers["encode_text"] = MicroBatcher(
                 self._text_batch,
-                max_batch=max_batch or self.fixed_batch_text or 8,
+                max_batch=_cap_batch(max_batch, self.fixed_batch_text),
                 max_wait_ms=max_wait_ms,
                 name="text",
             )
@@ -206,6 +236,11 @@ class EncoderService:
     def encode_speech(self, wav: np.ndarray) -> Dict[str, np.ndarray]:
         """One waveform (float32 1-D) -> feature dict; micro-batched within
         the wav-length bucket the request routes to."""
+        if not self._speech_buckets:
+            raise RuntimeError(
+                "no encode_speech artifact loaded (export one with "
+                "python -m speechclip_tpu.export)"
+            )
         wav = np.asarray(wav, np.float32).reshape(-1)
         return self._route_speech(len(wav))["batcher"].submit(wav).result()
 

@@ -133,6 +133,32 @@ def test_init_shapes_roundtrip_with_converter():
     ]
 
 
+def test_custom_resnet_arch_without_layers_uses_rn50_defaults():
+    """clip.custom.vision = {arch: resnet} alone must resolve to the RN50
+    default stages, not crash on the absent 'layers' key."""
+    from speechclip_tpu.models.speechclip import _resolve_clip_cfg
+
+    cfg = ConfigNode(
+        {
+            "clip": {
+                "custom": {
+                    "vision": {"arch": "resnet"},
+                    "text": {
+                        "vocab_size": 64,
+                        "width": 32,
+                        "layers": 2,
+                        "heads": 4,
+                        "output_dim": 16,
+                    },
+                }
+            }
+        }
+    )
+    resolved = _resolve_clip_cfg(cfg)
+    assert isinstance(resolved.vision, clip_mod.CLIPResNetVisionConfig)
+    assert resolved.vision.layers == (3, 4, 6, 3)
+
+
 def test_model_level_custom_resnet(tmp_path):
     """SpeechCLIPModel with a custom RN vision tower: construction,
     forward_image at the RN input resolution, and the trainable-image

@@ -81,6 +81,27 @@ class TestMicroBatcher:
         assert max(calls) > 1
         b.close()
 
+    def test_close_drains_queued_requests(self):
+        import time as _time
+
+        def slow_fn(items):
+            _time.sleep(0.4)
+            return items
+
+        b = MicroBatcher(slow_fn, max_batch=1, max_wait_ms=1.0)
+        futs = [b.submit(i) for i in range(3)]
+        _time.sleep(0.05)  # let the worker take the first item
+        b.close()
+        assert futs[0].result(timeout=5) == 0  # in-flight batch completes
+        drained = sum(
+            1
+            for f in futs[1:]
+            if isinstance(f.exception(timeout=5), RuntimeError)
+        )
+        assert drained >= 1  # queued leftovers resolve with an error, not hang
+        with pytest.raises(RuntimeError, match="closed"):
+            b.submit(99)
+
     def test_batch_fn_error_propagates_to_every_waiter(self):
         def batch_fn(items):
             raise ValueError("boom")
@@ -174,6 +195,71 @@ class TestEncoderService:
         else:
             with pytest.raises(ValueError, match="exceeds"):
                 service._speech_batch(wavs, bucket)
+
+
+class TestServiceGuards:
+    def test_max_batch_clamped_to_fixed_artifact(
+        self, model_and_state, tmp_path
+    ):
+        """An oversized --max-batch must not make coalesced batches fail
+        under load — the cap clamps to the artifact's fixed batch."""
+        model, params, state = model_and_state
+        _write_artifacts(model, params, state, str(tmp_path), False)
+        svc = EncoderService(str(tmp_path), max_batch=16, max_wait_ms=50.0)
+        try:
+            for b in svc.batchers.values():
+                assert b.max_batch == 4  # the artifacts' fixed batch
+            # burst of 6 > fixed 4: must split cleanly, not 400
+            wavs = [np.zeros(500, np.float32)] * 6
+            results = [None] * 6
+
+            def worker(i):
+                results[i] = svc.encode_speech(wavs[i])
+
+            threads = [
+                threading.Thread(target=worker, args=(i,)) for i in range(6)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=60)
+            assert all(r is not None for r in results)
+        finally:
+            svc.close()
+
+    def test_missing_speech_artifact_is_a_clear_error(
+        self, model_and_state, tmp_path
+    ):
+        model, params, state = model_and_state
+        blob = export_encode_image(
+            model, params, batch_size=2, platforms=("cpu",)
+        )
+        with open(tmp_path / "encode_image.stablehlo", "wb") as f:
+            f.write(blob)
+        svc = EncoderService(str(tmp_path))
+        try:
+            with pytest.raises(RuntimeError, match="encode_speech"):
+                svc.encode_speech(np.zeros(100, np.float32))
+        finally:
+            svc.close()
+
+    def test_duplicate_wav_length_artifacts_collapse_to_one_bucket(
+        self, model_and_state, tmp_path
+    ):
+        model, params, state = model_and_state
+        blob = export_encode_speech(
+            model, params, state, batch_size=2, wav_samples=2000,
+            platforms=("cpu",),
+        )
+        for fname in ("encode_speech.stablehlo", "encode_speech@2000.stablehlo"):
+            with open(tmp_path / fname, "wb") as f:
+                f.write(blob)
+        svc = EncoderService(str(tmp_path))
+        try:
+            assert len(svc._speech_buckets) == 1
+            assert len(svc.batchers) == 1
+        finally:
+            svc.close()
 
 
 class TestMultiBucketServing:
