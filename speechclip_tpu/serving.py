@@ -27,6 +27,11 @@ them into a service:
                         size, or .npy float32 already CLIP-preprocessed
   POST /encode_text     body: JSON {"token_ids": [...], "eot_position": N}
                         (reduced-vocab ids for reduced-vocab exports)
+  POST /gallery/add     body: image payload (as /encode_image); ?id=name
+                        optional -> encodes into the retrieval gallery
+  POST /retrieve        body: .npy wav; ?k=5&feat=parallel|cascaded ->
+                        top-k gallery images by cosine (the reference's
+                        mutualRetrieval as an online service)
   GET  /healthz         endpoint + batching stats
 
 Responses are JSON ``{"features": {name: nested_list}}``. Each HTTP
@@ -232,6 +237,11 @@ class EncoderService:
                 name="text",
             )
 
+        # online retrieval gallery (image features, L2-normalized)
+        self._gallery_lock = threading.Lock()
+        self._gallery_ids: List[str] = []
+        self._gallery_feats: List[np.ndarray] = []
+
     # ------------------------------------------------------------ speech
     def encode_speech(self, wav: np.ndarray) -> Dict[str, np.ndarray]:
         """One waveform (float32 1-D) -> feature dict; micro-batched within
@@ -354,6 +364,52 @@ class EncoderService:
             )
         return arr, lens
 
+    # --------------------------------------------------------- retrieval
+    # The model's purpose is speech<->image retrieval (reference
+    # mutualRetrieval, retrieval.py:45-121, run at validation time); the
+    # service exposes it online: a gallery of encoded image features and
+    # cosine top-k for speech queries.
+    def gallery_add(self, image, image_id: Optional[str] = None) -> str:
+        """Encode an image payload into the gallery; returns its id."""
+        feat = np.asarray(self.encode_image(image), np.float32)
+        feat = feat / max(float(np.linalg.norm(feat)), 1e-12)
+        with self._gallery_lock:
+            if image_id is None:
+                image_id = str(len(self._gallery_ids))
+            self._gallery_ids.append(str(image_id))
+            self._gallery_feats.append(feat)
+        return str(image_id)
+
+    def gallery_size(self) -> int:
+        with self._gallery_lock:
+            return len(self._gallery_ids)
+
+    def retrieve(
+        self, wav: np.ndarray, k: int = 5, feat: str = "parallel"
+    ) -> List[Dict]:
+        """Speech query -> top-k gallery images by cosine score
+        (feat: 'parallel' | 'cascaded', the retrieval.audio_feat_src
+        choice, reference config .../spchclp_p.yaml:86)."""
+        key = f"{feat}_audio_feat"
+        feats = self.encode_speech(wav)
+        if key not in feats:
+            raise ValueError(
+                f"audio feature {key!r} not in this export "
+                f"(available: {sorted(feats)})"
+            )
+        q = np.asarray(feats[key], np.float32)
+        q = q / max(float(np.linalg.norm(q)), 1e-12)
+        with self._gallery_lock:
+            if not self._gallery_ids:
+                return []
+            gallery = np.stack(self._gallery_feats)
+            ids = list(self._gallery_ids)
+        scores = gallery @ q
+        order = np.argsort(-scores)[: max(int(k), 0)]
+        return [
+            {"id": ids[i], "score": float(scores[i])} for i in order
+        ]
+
     def stats(self) -> Dict:
         return {
             name: {
@@ -411,6 +467,31 @@ def make_http_server(service: EncoderService, host: str = "0.0.0.0", port: int =
                         200,
                         {"features": {k: v.tolist() for k, v in feats.items()}},
                     )
+                elif self.path.startswith("/gallery/add"):
+                    from urllib.parse import parse_qs, urlparse
+
+                    qs = parse_qs(urlparse(self.path).query)
+                    if body[:2] == b"\xff\xd8":  # JPEG magic
+                        payload = bytes(body)
+                    else:
+                        payload = np.load(io.BytesIO(body), allow_pickle=False)
+                    image_id = service.gallery_add(
+                        payload, qs.get("id", [None])[0]
+                    )
+                    self._reply(
+                        200, {"id": image_id, "gallery_size": service.gallery_size()}
+                    )
+                elif self.path.startswith("/retrieve"):
+                    from urllib.parse import parse_qs, urlparse
+
+                    qs = parse_qs(urlparse(self.path).query)
+                    wav = np.load(io.BytesIO(body), allow_pickle=False)
+                    hits = service.retrieve(
+                        wav,
+                        k=int(qs.get("k", ["5"])[0]),
+                        feat=qs.get("feat", ["parallel"])[0],
+                    )
+                    self._reply(200, {"results": hits})
                 elif self.path.startswith("/encode_text"):
                     req = json.loads(body)
                     feat = service.encode_text(

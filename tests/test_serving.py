@@ -312,6 +312,39 @@ class TestMultiBucketServing:
             svc.close()
 
 
+class TestRetrievalService:
+    def test_gallery_retrieve_matches_direct_cosine_math(self, service):
+        """The online gallery must reproduce the score math of the
+        reference's mutualRetrieval: cosine of L2-normalized features,
+        descending."""
+        rng = np.random.default_rng(11)
+        wav = rng.standard_normal(1800).astype(np.float32)
+        assert service.retrieve(wav, k=3) == []  # before anything is added
+
+        images = [
+            rng.integers(0, 256, (40, 40, 3), dtype=np.uint8) for _ in range(3)
+        ]
+        ids = [service.gallery_add(im, f"img{i}") for i, im in enumerate(images)]
+        assert ids == ["img0", "img1", "img2"]
+        assert service.gallery_size() == 3
+
+        hits = service.retrieve(wav, k=2)
+        assert len(hits) == 2
+        assert hits[0]["score"] >= hits[1]["score"]
+
+        q = service.encode_speech(wav)["parallel_audio_feat"].astype(np.float64)
+        q /= np.linalg.norm(q)
+        feats = np.stack(
+            [np.asarray(service.encode_image(im), np.float64) for im in images]
+        )
+        feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+        expected = np.argsort(-(feats @ q))[:2]
+        assert [h["id"] for h in hits] == [f"img{i}" for i in expected]
+
+        with pytest.raises(ValueError, match="audio feature"):
+            service.retrieve(wav, feat="bogus")
+
+
 class TestHTTPServer:
     @pytest.fixture()
     def http_service(self, service):
@@ -371,6 +404,21 @@ class TestHTTPServer:
         assert resp.status == 200, body
         feat = np.asarray(body["features"]["text_feat"])
         assert feat.shape == (16,) and np.isfinite(feat).all()
+
+    def test_gallery_and_retrieve_endpoints(self, http_service):
+        rng = np.random.default_rng(12)
+        img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        status, body = self._post_npy(
+            http_service, "/gallery/add?id=http_img", img
+        )
+        assert status == 200 and body["id"] == "http_img", body
+
+        wav = rng.standard_normal(900).astype(np.float32)
+        status, body = self._post_npy(http_service, "/retrieve?k=1", wav)
+        assert status == 200, body
+        assert len(body["results"]) == 1  # top-1 over the gallery
+        hit = body["results"][0]
+        assert isinstance(hit["id"], str) and isinstance(hit["score"], float)
 
     def test_bad_payload_is_a_clean_400(self, http_service):
         conn = http.client.HTTPConnection(*http_service, timeout=10)
