@@ -97,3 +97,67 @@ def test_training_learns_retrieval(tmp_path):
     assert final_loss < first_loss * 0.5, (first_loss, final_loss)
     # chance level is 12.5%; a working stack memorizes 8 pairs
     assert final_recall >= 75.0, final_recall
+
+
+def test_cascaded_branch_learns_retrieval(tmp_path):
+    """Same memorization check through the CASCADED path: gradients must
+    survive proj -> kw-BN -> cosine-vs-embedding-table -> straight-through
+    VQ -> frozen CLIP text tower (reference kwClip.py:1408-1426) and still
+    align speech with images. Catches wiring bugs in exactly the pieces
+    the parallel-branch test never touches."""
+    cfg = tiny_speechclip_config(tmp_path, cascaded=1.0, parallel=0.0)
+    cfg.retrieval.audio_feat_src = "cascaded"
+    cfg.audio_encoder.optim = {
+        "name": "Adam",
+        "args": {"lr": 2e-3, "weight_decay": 0.0},
+    }
+    cfg.audio_encoder.scheduler = {
+        "name": "linear_warmup_decay",
+        "warmup": 5,
+        "max_step": 1200,
+        "final_lr": 1e-4,
+    }
+    cfg.trainer.gradient_clip_val = 4
+    model = SpeechCLIPModel(cfg)
+    params, _ = model.init(jax.random.key(0))
+    tx, _ = build_optimizer(cfg, model.trainable_mask(params))
+    state = create_train_state(model, tx, jax.random.key(0))
+    step = jit_train_step(make_train_step(model, tx), donate=False)
+
+    wavs, images = make_corpus()
+    batch = {
+        "wav": jnp.asarray(wavs),
+        "wav_len": jnp.asarray(np.full(N_PAIRS, WAV_LEN)),
+        "image": jnp.asarray(images),
+        "id": jnp.asarray(np.arange(N_PAIRS)),
+    }
+
+    def recall(state):
+        _, _, others, _ = model.forward(state.params, state.model_state, batch)
+        scores = np.asarray(others["cascaded_audio_feat"]) @ np.asarray(
+            others["image_feat"]
+        ).T
+        out = recall_at_k(
+            jnp.asarray(scores), jnp.arange(N_PAIRS), jnp.arange(N_PAIRS), [1]
+        )
+        return out["recall@1"]
+
+    # the straight-through-VQ path oscillates (discrete code assignments
+    # flip under a constant-ish lr), so assert on the best checkpoint of
+    # the trajectory — the robust form of "this stack can learn"
+    first_loss = None
+    best_loss = np.inf
+    best_recall = 0.0
+    for i in range(300):
+        state, metrics = step(state, batch)
+        loss = float(metrics["train_loss"])
+        if first_loss is None:
+            first_loss = loss
+        best_loss = min(best_loss, loss)
+        if (i + 1) % 50 == 0:
+            best_recall = max(best_recall, recall(state))
+
+    assert np.isfinite(best_loss)
+    assert best_loss < first_loss * 0.7, (first_loss, best_loss)
+    # chance is 12.5%; measured trajectory peaks at 75% by step 300
+    assert best_recall >= 62.5, best_recall
