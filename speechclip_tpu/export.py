@@ -178,7 +178,13 @@ def main():
         "encode_speech@<n>.stablehlo each — the serving runtime routes "
         "requests to the smallest bucket that fits",
     )
-    parser.add_argument("--platform", default=None)
+    parser.add_argument(
+        "--platform",
+        default=None,
+        help="jax platform for model restore AND artifact lowering; a "
+        "comma list (e.g. cpu,tpu) lowers one artifact for several "
+        "serving platforms (restore runs on the first)",
+    )
     parser.add_argument("--polymorphic-batch", action="store_true")
     parser.add_argument(
         "--dtype",
@@ -190,8 +196,9 @@ def main():
     )
     args = parser.parse_args()
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    platforms = args.platform.split(",") if args.platform else None
+    if platforms:
+        jax.config.update("jax_platforms", platforms[0])
 
     from .config import ConfigNode
     from .models.speechclip import SpeechCLIPModel
@@ -229,13 +236,13 @@ def main():
         )
         blobs[name] = export_encode_speech(
             model, params, state, args.batch, wav_samples,
-            polymorphic_batch=poly,
+            platforms=platforms, polymorphic_batch=poly,
         )
     blobs["encode_image"] = export_encode_image(
-        model, params, args.batch, polymorphic_batch=poly
+        model, params, args.batch, platforms=platforms, polymorphic_batch=poly
     )
     blobs["encode_text"] = export_encode_text(
-        model, params, args.batch, polymorphic_batch=poly
+        model, params, args.batch, platforms=platforms, polymorphic_batch=poly
     )
     for name, blob in blobs.items():
         path = os.path.join(args.out, f"{name}.stablehlo")

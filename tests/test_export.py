@@ -151,3 +151,22 @@ class TestExport:
         a = a / np.linalg.norm(a, axis=-1, keepdims=True)
         b = b / np.linalg.norm(b, axis=-1, keepdims=True)
         assert float((a * b).sum(-1).min()) > 0.995
+
+
+def test_multi_platform_artifact_runs_on_cpu(model_and_state):
+    """platforms=("cpu","tpu") lowers ONE artifact for both serving
+    platforms (per-platform custom-call branches in the StableHLO); it
+    must still deserialize and execute on the CPU backend. CLI:
+    python -m speechclip_tpu.export --platform cpu,tpu."""
+    model, params, state = model_and_state
+    blob = export_encode_image(
+        model, params, batch_size=2, platforms=("cpu", "tpu")
+    )
+    fn = load_exported(blob)
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(fn(images)),
+        np.asarray(model.forward_image(params, images)),
+        atol=1e-5,
+    )
