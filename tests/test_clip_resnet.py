@@ -191,3 +191,30 @@ def test_model_level_custom_resnet(tmp_path):
     cfg.clip.image_encoder_trainable = True
     with pytest.raises(NotImplementedError, match="RN"):
         SpeechCLIPModel(cfg)
+
+
+def test_uint8_device_preprocess_resizes_to_rn_resolution(tmp_path):
+    """The on-device uint8 path (data.dataset.on_device_preprocess) must
+    resize to the RN tower's input resolution, not a hardcoded 224."""
+    from tests.test_models import tiny_speechclip_config
+    from speechclip_tpu.models.speechclip import SpeechCLIPModel
+
+    cfg = tiny_speechclip_config(tmp_path)
+    cfg.clip.custom.vision = ConfigNode(
+        {
+            "arch": "resnet",
+            "image_size": 64,
+            "width": 8,
+            "layers": [1, 1, 1, 1],
+            "heads": 4,
+            "output_dim": 16,
+        }
+    )
+    model = SpeechCLIPModel(cfg)
+    params, _ = model.init(jax.random.key(0))
+    raw = jnp.asarray(
+        np.random.default_rng(1).integers(0, 256, (2, 96, 80, 3), dtype=np.uint8)
+    )
+    feat = model.encode_image_tower(params, raw)
+    assert feat.shape == (2, 16)
+    assert np.isfinite(np.asarray(feat)).all()
