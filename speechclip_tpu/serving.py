@@ -410,6 +410,19 @@ class EncoderService:
             {"id": ids[i], "score": float(scores[i])} for i in order
         ]
 
+    def warmup(self) -> None:
+        """Compile every artifact before taking traffic: first calls pay
+        the serving platform's XLA compile (minutes on remote-compiled
+        backends) — absorb that at startup, not on a user request."""
+        for bucket in self._speech_buckets:
+            self._speech_batch([np.zeros(16, np.float32)], bucket)
+        if "encode_image" in self._exported:
+            self._image_batch(
+                [np.zeros((self.image_size, self.image_size, 3), np.float32)]
+            )
+        if "encode_text" in self._exported:
+            self._text_batch([(np.zeros(self.context_length, np.int32), 0)])
+
     def stats(self) -> Dict:
         return {
             name: {
@@ -528,6 +541,12 @@ def main():
         default=None,
         help="jax platform override (e.g. cpu; see CLAUDE.md env gotchas)",
     )
+    parser.add_argument(
+        "--warmup",
+        action="store_true",
+        help="compile every artifact before accepting traffic (first "
+        "calls otherwise pay the XLA compile on a user request)",
+    )
     args = parser.parse_args()
 
     if args.platform:
@@ -538,6 +557,9 @@ def main():
     service = EncoderService(
         args.artifacts, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
     )
+    if args.warmup:
+        print("warming up (compiling artifacts)...", flush=True)
+        service.warmup()
     server = make_http_server(service, args.host, args.port)
     names = ", ".join(sorted(service.batchers))
     print(f"serving {names} on {args.host}:{args.port}", flush=True)

@@ -427,3 +427,14 @@ class TestHTTPServer:
         body = json.loads(resp.read())
         conn.close()
         assert resp.status == 400 and "error" in body
+
+
+def test_warmup_compiles_every_surface(service):
+    """warmup() must touch every loaded artifact without going through the
+    batchers (stats stay request-only) and leave the service usable."""
+    before = {k: v["items"] for k, v in service.stats().items()}
+    service.warmup()
+    after = {k: v["items"] for k, v in service.stats().items()}
+    assert before == after  # direct calls, not fake requests
+    out = service.encode_speech(np.zeros(700, np.float32))
+    assert np.isfinite(out["parallel_audio_feat"]).all()
