@@ -244,14 +244,20 @@ class EncoderService:
 
     # ------------------------------------------------------------ speech
     def encode_speech(self, wav: np.ndarray) -> Dict[str, np.ndarray]:
-        """One waveform (float32 1-D) -> feature dict; micro-batched within
-        the wav-length bucket the request routes to."""
+        """One waveform -> feature dict; micro-batched within the
+        wav-length bucket the request routes to. float32 samples pass
+        through; int16 PCM is rescaled by 1/32768 (exact for PCM16
+        sources — the loader's compact_wav convention, half the payload
+        bytes over the wire)."""
         if not self._speech_buckets:
             raise RuntimeError(
                 "no encode_speech artifact loaded (export one with "
                 "python -m speechclip_tpu.export)"
             )
-        wav = np.asarray(wav, np.float32).reshape(-1)
+        wav = np.asarray(wav)
+        if wav.dtype == np.int16:
+            wav = wav.astype(np.float32) / 32768.0
+        wav = wav.astype(np.float32).reshape(-1)
         return self._route_speech(len(wav))["batcher"].submit(wav).result()
 
     def _route_speech(self, n_samples: int) -> Dict:

@@ -168,6 +168,17 @@ class TestEncoderService:
         np.testing.assert_allclose(feat_pre, feat_u8, atol=1e-6)
         assert feat_pre.shape[-1] == 16
 
+    def test_int16_pcm_payload_equals_rescaled_f32(self, service):
+        """int16 PCM requests (loader compact_wav convention, half the
+        payload bytes) must produce identical features to f32/32768."""
+        rng = np.random.default_rng(6)
+        pcm = rng.integers(-30000, 30000, 1100, dtype=np.int16)
+        got_i16 = service.encode_speech(pcm)
+        got_f32 = service.encode_speech(pcm.astype(np.float32) / 32768.0)
+        np.testing.assert_array_equal(
+            got_i16["parallel_audio_feat"], got_f32["parallel_audio_feat"]
+        )
+
     def test_text_features_match_direct_call(self, service, model_and_state):
         model, params, state = model_and_state
         import jax.numpy as jnp
