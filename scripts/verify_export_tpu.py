@@ -156,6 +156,38 @@ def main():
             f"{t_warm*1e3:.1f} ms, checksum finite",
             flush=True,
         )
+    # --- RN tower on this backend (extra, failure-isolated case) -----------
+    # proves the ModifiedResNet image path (conv/BN/avgpool/attnpool) lowers
+    # and runs on the real TPU, not only the CPU parity suite
+    try:
+        from speechclip_tpu.models import clip as clip_mod
+
+        rn_cfg = clip_mod.CLIPConfig(
+            vision=clip_mod.CLIPResNetVisionConfig(
+                image_size=64, width=8, layers=(1, 1, 1, 1), heads=4,
+                output_dim=16,
+            ),
+            text=model.clip_cfg.text,
+        )
+        rn_params = clip_mod.clip_init(jax.random.key(1), rn_cfg)
+        rn_images = jnp.asarray(
+            rng.standard_normal((BATCH, 64, 64, 3)).astype(np.float32)
+        )
+        t0 = time.perf_counter()
+        rn_out = jax.jit(
+            lambda p, im: clip_mod.encode_image(p, rn_cfg, im)
+        )(rn_params, rn_images)
+        rn_sum = float(jnp.sum(rn_out.astype(jnp.float32)))
+        assert np.isfinite(rn_sum)
+        print(
+            f"rn tower (tiny ModifiedResNet): ran on this backend in "
+            f"{time.perf_counter() - t0:.1f} s (incl. compile), output "
+            f"{tuple(rn_out.shape)}, checksum finite",
+            flush=True,
+        )
+    except Exception as exc:  # do not lose the main drive to the extra case
+        print(f"rn tower case FAILED: {type(exc).__name__}: {exc}", flush=True)
+
     # --- serving runtime over the same artifacts (speechclip_tpu/serving) ---
     import os
     import tempfile
