@@ -11,25 +11,34 @@ set -e
 cd "$(dirname "$0")/.."
 mkdir -p assets/hubert assets/clip
 
+# fetch <path> <url>: skip only NON-EMPTY files (a failed wget -O leaves a
+# zero-byte file behind, which must not mask the retry on the next run),
+# download to .part and move into place so partial transfers never count.
+fetch() {
+  [ -s "$1" ] && return 0
+  rm -f "$1"
+  if wget -O "$1.part" "$2"; then
+    mv "$1.part" "$1"
+  else
+    rm -f "$1.part"
+    return 1
+  fi
+}
+
 # CLIP BPE merges (tokenizer)
-[ -f assets/bpe_simple_vocab_16e6.txt.gz ] || \
-  wget -O assets/bpe_simple_vocab_16e6.txt.gz \
+fetch assets/bpe_simple_vocab_16e6.txt.gz \
     https://github.com/openai/CLIP/raw/main/clip/bpe_simple_vocab_16e6.txt.gz
 
 # HuBERT
-[ -f assets/hubert/hubert_base_ls960.pt ] || \
-  wget -O assets/hubert/hubert_base_ls960.pt \
+fetch assets/hubert/hubert_base_ls960.pt \
     https://dl.fbaipublicfiles.com/hubert/hubert_base_ls960.pt
-[ -f assets/hubert/hubert_large_ll60k.pt ] || \
-  wget -O assets/hubert/hubert_large_ll60k.pt \
+fetch assets/hubert/hubert_large_ll60k.pt \
     https://dl.fbaipublicfiles.com/hubert/hubert_large_ll60k.pt
 
 # CLIP towers
-[ -f assets/clip/ViT-B-32.pt ] || \
-  wget -O assets/clip/ViT-B-32.pt \
+fetch assets/clip/ViT-B-32.pt \
     "https://openaipublic.azureedge.net/clip/models/40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af/ViT-B-32.pt"
-[ -f assets/clip/ViT-L-14.pt ] || \
-  wget -O assets/clip/ViT-L-14.pt \
+fetch assets/clip/ViT-L-14.pt \
     "https://openaipublic.azureedge.net/clip/models/b8cca3fd41ae0c99ba7e8951adf17d267cdb84cd88be6f7c2e0eca1737a03836/ViT-L-14.pt"
 
 # RN* towers (pass --rn; none of the shipped configs use them, but the
@@ -44,8 +53,7 @@ if [ "${1:-}" = "--rn" ]; then
     [RN50x64]="https://openaipublic.azureedge.net/clip/models/be1cfb55d75a9666199fb2206c106743da0f6468c9d327f3e0d0a543a9919d9c/RN50x64.pt"
   )
   for name in "${!RN_URLS[@]}"; do
-    [ -f "assets/clip/${name}.pt" ] || \
-      wget -O "assets/clip/${name}.pt" "${RN_URLS[$name]}"
+    fetch "assets/clip/${name}.pt" "${RN_URLS[$name]}"
   done
 fi
 
