@@ -18,7 +18,11 @@ from speechclip_tpu.models import clip as clip_mod, hubert
 from speechclip_tpu.models.speechclip import SpeechCLIPModel, resolve_tower_configs
 
 REPO = Path(__file__).resolve().parent.parent
-RECIPES = sorted(REPO.glob("egs/**/*.sh"))
+# the train/test recipe contract below applies to the reference-mirroring
+# 12 recipes; other egs scripts (e.g. serving) have their own checks
+RECIPES = sorted(
+    p for p in REPO.glob("egs/**/*.sh") if p.name in ("train.sh", "test.sh")
+)
 CONFIGS = sorted(REPO.glob("configs/**/*.yaml"))
 
 
@@ -103,3 +107,19 @@ class TestShippedConfigs:
             assert name == "coco"
         else:
             assert name == "flickr"
+
+
+class TestServingRecipe:
+    def test_export_and_serve_wiring(self):
+        """The serving recipe must drive the real export/serving CLIs and
+        use only flags their parsers accept (pinned against the modules'
+        documented option sets)."""
+        recipe = REPO / "egs/serving/export_and_serve.sh"
+        text = recipe.read_text()
+        assert "speechclip_tpu.export" in text
+        assert "speechclip_tpu.serving" in text
+
+        export_flags = {"--ckpt", "--out", "--batch", "--wav-samples", "--dtype"}
+        serve_flags = {"--artifacts", "--port", "--warmup"}
+        used = set(re.findall(r"(--[a-z-]+)", text))
+        assert export_flags | serve_flags >= used, used - (export_flags | serve_flags)
