@@ -54,8 +54,8 @@ def main():
         jax.config.update("jax_platforms", PLATFORM)
     import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship_config
     from speechclip_tpu import export as export_mod
+    from speechclip_tpu.config import flagship_config, flagship_tiny_config
     from speechclip_tpu.models.speechclip import SpeechCLIPModel
 
     print(
@@ -63,39 +63,8 @@ def main():
         f"({'FULL' if FULL else 'tiny'} dims, batch {BATCH})",
         flush=True,
     )
-    cfg = _flagship_config()
-    if not FULL:
-        # the dryrun tiny towers: full export path, relay-sized constants
-        cfg.audio_encoder.custom = {
-            "conv_layers": [[16, 10, 5], [16, 3, 2], [16, 3, 2]],
-            "encoder_embed_dim": 32,
-            "encoder_layers": 2,
-            "encoder_ffn_dim": 64,
-            "encoder_heads": 4,
-            "downsample_rate": 20,
-        }
-        cfg.clip.custom = {
-            "vision": {
-                "image_size": 32,
-                "patch_size": 8,
-                "width": 32,
-                "layers": 2,
-                "heads": 4,
-                "output_dim": 16,
-            },
-            "text": {
-                "vocab_size": 64,
-                "width": 32,
-                "layers": 2,
-                "heads": 4,
-                "output_dim": 16,
-            },
-        }
-        for branch in ("parallel_branch", "cascaded_branch"):
-            cfg.model_settings[branch].transformer_args.d_model = 32
-            cfg.model_settings[branch].transformer_args.dim_feedforward = 64
-        cfg.model_settings.parallel_branch.transformer_args.nhead = 4
-        cfg.model_settings.cascaded_branch.keyword.number = 4
+    # tiny = full export path with relay-sized constants (see module doc)
+    cfg = flagship_config() if FULL else flagship_tiny_config()
     model = SpeechCLIPModel(cfg)
     params, state = model.init(jax.random.key(0))
 

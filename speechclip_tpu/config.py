@@ -277,3 +277,50 @@ def flagship_config() -> ConfigNode:
             "trainer": {"precision": 16, "gradient_clip_val": 4},
         }
     )
+
+
+def flagship_tiny_config() -> ConfigNode:
+    """``flagship_config()`` shrunk to tiny tower dims with the SAME
+    topology (both branches, kw-BN, VQ, weighted sum, reduced-vocab-free).
+
+    The shape every full-graph-but-small-constants consumer shares: the
+    driver's multi-chip dryrun, the TPU export/serving drives (StableHLO
+    bakes weights in as constants and the remote-compile relay stalls on
+    multi-hundred-MB graphs), and the serving bench.
+    """
+    cfg = flagship_config()
+    cfg.audio_encoder.custom = ConfigNode(
+        {
+            "conv_layers": [[16, 10, 5], [16, 3, 2], [16, 3, 2]],
+            "encoder_embed_dim": 32,
+            "encoder_layers": 2,
+            "encoder_ffn_dim": 64,
+            "encoder_heads": 4,
+            "downsample_rate": 20,
+        }
+    )
+    cfg.clip.custom = ConfigNode(
+        {
+            "vision": {
+                "image_size": 32,
+                "patch_size": 8,
+                "width": 32,
+                "layers": 2,
+                "heads": 4,
+                "output_dim": 16,
+            },
+            "text": {
+                "vocab_size": 64,
+                "width": 32,
+                "layers": 2,
+                "heads": 4,
+                "output_dim": 16,
+            },
+        }
+    )
+    for branch in ("parallel_branch", "cascaded_branch"):
+        cfg.model_settings[branch].transformer_args.d_model = 32
+        cfg.model_settings[branch].transformer_args.dim_feedforward = 64
+    cfg.model_settings.parallel_branch.transformer_args.nhead = 4
+    cfg.model_settings.cascaded_branch.keyword.number = 4
+    return cfg

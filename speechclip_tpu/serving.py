@@ -72,6 +72,7 @@ class MicroBatcher:
         self.max_batch = int(max_batch)
         self._max_wait = max_wait_ms / 1e3
         self._q: queue.Queue = queue.Queue()
+        self._submit_lock = threading.Lock()  # serializes submit vs close
         self._stop = threading.Event()
         self.batches_run = 0
         self.items_run = 0
@@ -81,10 +82,14 @@ class MicroBatcher:
         self._thread.start()
 
     def submit(self, item) -> Future:
-        if self._stop.is_set():
-            raise RuntimeError("MicroBatcher is closed")
         fut: Future = Future()
-        self._q.put((item, fut))
+        # the stop-check and the put must be atomic vs close(): a put that
+        # raced past a bare check could land after close() drained the
+        # queue, leaving the caller blocked on the future forever
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("MicroBatcher is closed")
+            self._q.put((item, fut))
         return fut
 
     def _loop(self):
@@ -117,10 +122,10 @@ class MicroBatcher:
                     fut.set_exception(exc)
 
     def close(self):
-        self._stop.set()
+        with self._submit_lock:  # no put can land after this block
+            self._stop.set()
         self._thread.join(timeout=2.0)
-        # drain anything still queued (incl. submits that raced _stop) so
-        # no caller blocks forever on Future.result()
+        # drain anything still queued so no caller blocks on Future.result()
         while True:
             try:
                 _, fut = self._q.get_nowait()
@@ -132,6 +137,10 @@ class MicroBatcher:
 def _static_dim(d) -> Optional[int]:
     """int for a concrete aval dim, None for a symbolic (polymorphic) one."""
     return int(d) if isinstance(d, (int, np.integer)) else None
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length() if n > 1 else 1
 
 
 def _cap_batch(max_batch: Optional[int], fixed_batch: Optional[int]) -> int:
@@ -200,9 +209,13 @@ class EncoderService:
                 )
                 continue
             seen_lengths.add(bucket["wav_samples"])
+            self._speech_buckets.append(bucket)
+        for bucket in self._speech_buckets:
+            # name AFTER dedup: a lone surviving bucket keeps the documented
+            # single-bucket surface batchers["encode_speech"]
             name = (
                 "encode_speech"
-                if len(speech_artifacts) == 1
+                if len(self._speech_buckets) == 1
                 else f"encode_speech@{bucket['wav_samples']}"
             )
             bucket["batcher"] = self.batchers[name] = MicroBatcher(
@@ -211,7 +224,6 @@ class EncoderService:
                 max_wait_ms=max_wait_ms,
                 name=name,
             )
-            self._speech_buckets.append(bucket)
         if self._speech_buckets:
             # single-bucket conveniences (and back-compat surface)
             self.wav_samples = self._speech_buckets[-1]["wav_samples"]
@@ -241,6 +253,7 @@ class EncoderService:
         self._gallery_lock = threading.Lock()
         self._gallery_ids: List[str] = []
         self._gallery_feats: List[np.ndarray] = []
+        self._gallery_matrix: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------ speech
     def encode_speech(self, wav: np.ndarray) -> Dict[str, np.ndarray]:
@@ -255,6 +268,13 @@ class EncoderService:
                 "python -m speechclip_tpu.export)"
             )
         wav = np.asarray(wav)
+        if wav.squeeze().ndim > 1:
+            # a batched array silently flattened would concatenate the
+            # utterances into one plausible-looking wrong feature
+            raise ValueError(
+                f"encode_speech takes ONE 1-D waveform, got shape "
+                f"{wav.shape}; send one request per utterance"
+            )
         if wav.dtype == np.int16:
             wav = wav.astype(np.float32) / 32768.0
         wav = wav.astype(np.float32).reshape(-1)
@@ -286,6 +306,11 @@ class EncoderService:
     # ------------------------------------------------------------- image
     def encode_image(self, image) -> np.ndarray:
         """JPEG bytes / uint8 (H, W, 3) / preprocessed f32 -> feature."""
+        if "encode_image" not in self._exported:
+            raise RuntimeError(
+                "no encode_image artifact loaded (export one with "
+                "python -m speechclip_tpu.export)"
+            )
         return (
             self.batchers["encode_image"].submit(self.preprocess_image(image))
             .result()
@@ -294,6 +319,8 @@ class EncoderService:
     def preprocess_image(self, image) -> np.ndarray:
         """-> (size, size, 3) float32, CLIP-normalized (host path — the
         artifact was traced with f32 input, data/image.py contract)."""
+        if "encode_image" not in self._exported:
+            raise RuntimeError("no encode_image artifact loaded")
         from .data.image import clip_preprocess_pil
 
         if isinstance(image, (bytes, bytearray)):
@@ -325,11 +352,23 @@ class EncoderService:
     def encode_text(self, token_ids: np.ndarray, eot_position: int) -> np.ndarray:
         """One tokenized caption ((context_length,) int ids — reduced ids
         for reduced-vocab exports — plus its EOT index) -> text feature."""
+        if "encode_text" not in self._exported:
+            raise RuntimeError(
+                "no encode_text artifact loaded (export one with "
+                "python -m speechclip_tpu.export)"
+            )
         ids = np.asarray(token_ids, np.int32).reshape(-1)
         if len(ids) > self.context_length:
             raise ValueError(
                 f"{len(ids)} token ids exceed the artifact's context "
                 f"{self.context_length}"
+            )
+        if not 0 <= int(eot_position) < len(ids):
+            # an out-of-range gather index would CLAMP on device and return
+            # a feature from the wrong position with status 200
+            raise ValueError(
+                f"eot_position {eot_position} outside the caption "
+                f"(0..{len(ids) - 1})"
             )
         padded = np.zeros((self.context_length,), np.int32)
         padded[: len(ids)] = ids
@@ -351,16 +390,25 @@ class EncoderService:
     @staticmethod
     def _pad_rows(arr, lens, fixed_batch, pad_len=None):
         """Pad a partial batch up to a fixed-batch artifact's size (zero
-        rows, full valid length so masks stay well-formed); polymorphic
-        artifacts pass through."""
-        if fixed_batch is None or arr.shape[0] == fixed_batch:
+        rows, full valid length so masks stay well-formed). Polymorphic
+        artifacts pad to the next power of two instead: the serving
+        backend then compiles O(log max_batch) batch shapes, not one per
+        distinct coalesced size — each distinct shape is a fresh XLA
+        compile on the request path (minutes on remote-compiled backends),
+        and warmup() can cover the whole set up front."""
+        n = arr.shape[0]
+        if fixed_batch is None:
+            target = _next_pow2(n)
+        else:
+            if n > fixed_batch:
+                raise ValueError(
+                    f"batch {n} exceeds the artifact's fixed batch "
+                    f"{fixed_batch}"
+                )
+            target = fixed_batch
+        if n == target:
             return arr, lens
-        if arr.shape[0] > fixed_batch:
-            raise ValueError(
-                f"batch {arr.shape[0]} exceeds the artifact's fixed batch "
-                f"{fixed_batch}"
-            )
-        pad = fixed_batch - arr.shape[0]
+        pad = target - n
         arr = np.concatenate(
             [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)], axis=0
         )
@@ -384,6 +432,7 @@ class EncoderService:
                 image_id = str(len(self._gallery_ids))
             self._gallery_ids.append(str(image_id))
             self._gallery_feats.append(feat)
+            self._gallery_matrix = None  # rebuilt lazily on next retrieve
         return str(image_id)
 
     def gallery_size(self) -> int:
@@ -408,7 +457,11 @@ class EncoderService:
         with self._gallery_lock:
             if not self._gallery_ids:
                 return []
-            gallery = np.stack(self._gallery_feats)
+            # additions are rare, retrievals hot: cache the stacked matrix
+            # instead of re-stacking O(N*d) under the lock per query
+            if self._gallery_matrix is None:
+                self._gallery_matrix = np.stack(self._gallery_feats)
+            gallery = self._gallery_matrix
             ids = list(self._gallery_ids)
         scores = gallery @ q
         order = np.argsort(-scores)[: max(int(k), 0)]
@@ -416,18 +469,42 @@ class EncoderService:
             {"id": ids[i], "score": float(scores[i])} for i in order
         ]
 
+    @staticmethod
+    def _warm_sizes(fixed_batch: Optional[int], max_batch: int) -> List[int]:
+        """Batch sizes warmup must compile: fixed artifacts see exactly one
+        shape (padding forces it); polymorphic ones see every power of two
+        _pad_rows can produce up to the batcher cap."""
+        if fixed_batch is not None:
+            return [1]
+        sizes, s = [], 1
+        while s < _next_pow2(max_batch):
+            sizes.append(s)
+            s *= 2
+        sizes.append(s)
+        return sizes
+
     def warmup(self) -> None:
-        """Compile every artifact before taking traffic: first calls pay
-        the serving platform's XLA compile (minutes on remote-compiled
-        backends) — absorb that at startup, not on a user request."""
+        """Compile every (artifact, batch shape) before taking traffic:
+        first calls pay the serving platform's XLA compile (minutes on
+        remote-compiled backends) — absorb that at startup, not on a user
+        request. Covers all shapes _pad_rows can produce."""
         for bucket in self._speech_buckets:
-            self._speech_batch([np.zeros(16, np.float32)], bucket)
+            for n in self._warm_sizes(
+                bucket["fixed_batch"], bucket["batcher"].max_batch
+            ):
+                self._speech_batch([np.zeros(16, np.float32)] * n, bucket)
         if "encode_image" in self._exported:
-            self._image_batch(
-                [np.zeros((self.image_size, self.image_size, 3), np.float32)]
-            )
+            img = np.zeros((self.image_size, self.image_size, 3), np.float32)
+            for n in self._warm_sizes(
+                self.fixed_batch_image, self.batchers["encode_image"].max_batch
+            ):
+                self._image_batch([img] * n)
         if "encode_text" in self._exported:
-            self._text_batch([(np.zeros(self.context_length, np.int32), 0)])
+            item = (np.zeros(self.context_length, np.int32), 0)
+            for n in self._warm_sizes(
+                self.fixed_batch_text, self.batchers["encode_text"].max_batch
+            ):
+                self._text_batch([item] * n)
 
     def stats(self) -> Dict:
         return {

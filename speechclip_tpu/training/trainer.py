@@ -472,14 +472,14 @@ class Trainer:
             caches = getattr(self, "_eval_img_caches", None)
             if caches is None:
                 caches = self._eval_img_caches = {}
+            # first leaf in (deterministic, sorted-key) tree order — present
+            # for BOTH tower families, unlike e.g. class_embedding which
+            # only the ViT visual tree has
+            sig_leaf = jax.tree_util.tree_leaves(
+                state.params["clip"]["visual"]
+            )[0]
             tower_sig = float(
-                jax.device_get(
-                    jnp.sum(
-                        state.params["clip"]["visual"][
-                            "class_embedding"
-                        ].astype(jnp.float32)
-                    )
-                )
+                jax.device_get(jnp.sum(sig_leaf.astype(jnp.float32)))
             )
             key = (id(loader.dataset), tower_sig)
             if key not in caches:

@@ -111,3 +111,39 @@ class TestTrainerWithImageCache:
         # the 2-image dev gallery saturates recall@10 at 100 for any
         # ranking, so this equality cannot flake on feature perturbations
         assert recalls[True] == recalls[False] == 100.0
+
+
+class TestCacheWithResNetTower:
+    def test_validate_with_rn_tower_and_cache(
+        self, trainer_config, tokenizer, tmp_path  # noqa: F811
+    ):
+        """The eval-cache tower fingerprint must work for BOTH tower
+        families: the ModifiedResNet visual tree has no class_embedding
+        leaf (the old signature crashed validation with KeyError)."""
+        from speechclip_tpu.config import ConfigNode
+
+        cfg = copy.deepcopy(trainer_config)
+        cfg.trainer.default_root_dir = str(tmp_path / "rn_run")
+        cfg.trainer.cache_image_features = True
+        cfg.clip.custom.vision = ConfigNode(
+            {
+                "arch": "resnet",
+                "image_size": 64,
+                "width": 8,
+                "layers": [1, 1, 1, 1],
+                "heads": 4,
+                "output_dim": 16,
+            }
+        )
+        trainer = Trainer(cfg, tokenizer=tokenizer)
+        from speechclip_tpu.training.train_step import (
+            create_train_state,
+            place_state,
+        )
+
+        state = place_state(
+            create_train_state(trainer.model, trainer.tx, jax.random.key(0)),
+            trainer.mesh,
+        )
+        metrics = trainer.validate(state, trainer.build_eval_loader("dev"))
+        assert np.isfinite(metrics["val_loss"])
