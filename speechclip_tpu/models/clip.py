@@ -49,7 +49,15 @@ class CLIPResNetVisionConfig:
     four stages of pre-activation-free bottlenecks whose stride-2 convs are
     replaced by stride-1 conv + 2x2 average pool (anti-aliased downsample),
     and a final AttentionPool2d (mean-query multi-head attention over the
-    7x7 feature grid) instead of global average pooling."""
+    7x7 feature grid) instead of global average pooling.
+
+    Parity status: pinned against a hand-written torch oracle restating
+    the public architecture (tests/torch_ref.py ModifiedResNetTorch; exact
+    at tiny and full RN50 dims, randomized weights AND BN running stats).
+    Released-weight parity additionally needs the published checkpoints
+    (scripts/download_assets.sh --rn; network-blocked in this repo's dev
+    environment, see docs/DESIGN_NOTES.md download attempts) — the
+    converter consumes them via load_clip_checkpoint unchanged."""
 
     image_size: int = 224
     width: int = 64  # stem width; stage channels are width*(1,2,4,8)*4
