@@ -59,6 +59,15 @@ class MicroBatcher:
     thread; ``submit`` returns a Future. After the first item of a batch
     arrives, the worker waits at most ``max_wait_ms`` for more, capping at
     ``max_batch`` items per call.
+
+    Pipelined mode: pass ``finalize_fn`` and ``batch_fn`` becomes the
+    DISPATCH stage (pack + launch on a device, return a handle without
+    blocking — JAX dispatch is async); a separate fetch thread runs
+    ``finalize_fn(handle) -> list_of_results`` (device->host sync) and
+    resolves the futures. The worker can then dispatch batch N+1 (to the
+    next device in a round-robin) while batch N still computes — without
+    this, multi-device serving would serialize on the single worker's
+    blocking fetch. ``pipeline_depth`` bounds in-flight batches.
     """
 
     def __init__(
@@ -67,8 +76,11 @@ class MicroBatcher:
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
         name: str = "",
+        finalize_fn: Optional[Callable] = None,
+        pipeline_depth: int = 2,
     ):
         self._fn = batch_fn
+        self._finalize = finalize_fn
         self.max_batch = int(max_batch)
         self._max_wait = max_wait_ms / 1e3
         self._q: queue.Queue = queue.Queue()
@@ -79,6 +91,16 @@ class MicroBatcher:
         self._thread = threading.Thread(
             target=self._loop, daemon=True, name=f"microbatcher-{name}"
         )
+        self._fetch_q: Optional[queue.Queue] = None
+        self._fetch_thread = None
+        if finalize_fn is not None:
+            self._fetch_q = queue.Queue(maxsize=max(int(pipeline_depth), 1))
+            self._fetch_thread = threading.Thread(
+                target=self._fetch_loop,
+                daemon=True,
+                name=f"microbatcher-fetch-{name}",
+            )
+            self._fetch_thread.start()
         self._thread.start()
 
     def submit(self, item) -> Future:
@@ -114,17 +136,40 @@ class MicroBatcher:
             self.batches_run += 1
             self.items_run += len(items)
             try:
-                results = self._fn(items)
+                out = self._fn(items)
+            except Exception as exc:  # surface to every waiter
+                for fut in futs:
+                    fut.set_exception(exc)
+                continue
+            if self._fetch_q is None:
+                for fut, res in zip(futs, out):
+                    fut.set_result(res)
+            else:
+                # bounded: blocks (backpressure) at pipeline_depth in-flight
+                self._fetch_q.put((out, futs))
+        if self._fetch_q is not None:
+            self._fetch_q.put(None)  # fetcher shutdown sentinel
+
+    def _fetch_loop(self):
+        while True:
+            entry = self._fetch_q.get()
+            if entry is None:
+                return
+            handle, futs = entry
+            try:
+                results = self._finalize(handle)
                 for fut, res in zip(futs, results):
                     fut.set_result(res)
-            except Exception as exc:  # surface to every waiter
+            except Exception as exc:
                 for fut in futs:
                     fut.set_exception(exc)
 
     def close(self):
         with self._submit_lock:  # no put can land after this block
             self._stop.set()
-        self._thread.join(timeout=2.0)
+        self._thread.join(timeout=5.0)
+        if self._fetch_thread is not None:
+            self._fetch_thread.join(timeout=5.0)
         # drain anything still queued so no caller blocks on Future.result()
         while True:
             try:
@@ -158,10 +203,22 @@ class EncoderService:
         artifact_dir: str,
         max_batch: Optional[int] = None,
         max_wait_ms: float = 5.0,
+        devices: Optional[Sequence] = None,
+        pipeline_depth: int = 2,
     ):
+        import itertools
         import os
 
         from jax import export as jexport
+
+        # multi-device serving: round-robin each dispatched batch across
+        # `devices` (jax.devices() subset). The batchers' pipelined mode
+        # makes this real parallelism: dispatch is async, the fetch thread
+        # syncs, so batch N+1 launches on the next device while batch N
+        # computes. None = default device (single-chip behavior).
+        self._devices = list(devices) if devices else None
+        self._rr = itertools.count()
+        self._pipeline_depth = pipeline_depth
 
         self._exported: Dict = {}
         speech_artifacts = []
@@ -219,10 +276,12 @@ class EncoderService:
                 else f"encode_speech@{bucket['wav_samples']}"
             )
             bucket["batcher"] = self.batchers[name] = MicroBatcher(
-                lambda wavs, b=bucket: self._speech_batch(wavs, b),
+                lambda wavs, b=bucket: self._speech_dispatch(wavs, b),
                 max_batch=_cap_batch(max_batch, bucket["fixed_batch"]),
                 max_wait_ms=max_wait_ms,
                 name=name,
+                finalize_fn=self._finalize_call,
+                pipeline_depth=pipeline_depth,
             )
         if self._speech_buckets:
             # single-bucket conveniences (and back-compat surface)
@@ -233,20 +292,24 @@ class EncoderService:
             self.fixed_batch_image = _static_dim(img_aval.shape[0])
             self.image_size = int(img_aval.shape[1])
             self.batchers["encode_image"] = MicroBatcher(
-                self._image_batch,
+                self._image_dispatch,
                 max_batch=_cap_batch(max_batch, self.fixed_batch_image),
                 max_wait_ms=max_wait_ms,
                 name="image",
+                finalize_fn=self._finalize_call,
+                pipeline_depth=pipeline_depth,
             )
         if "encode_text" in self._exported:
             txt_aval = self._exported["encode_text"].in_avals[0]
             self.fixed_batch_text = _static_dim(txt_aval.shape[0])
             self.context_length = int(txt_aval.shape[1])
             self.batchers["encode_text"] = MicroBatcher(
-                self._text_batch,
+                self._text_dispatch,
                 max_batch=_cap_batch(max_batch, self.fixed_batch_text),
                 max_wait_ms=max_wait_ms,
                 name="text",
+                finalize_fn=self._finalize_call,
+                pipeline_depth=pipeline_depth,
             )
 
         # online retrieval gallery (image features, L2-normalized)
@@ -287,7 +350,32 @@ class EncoderService:
                 return bucket
         return self._speech_buckets[-1]
 
-    def _speech_batch(self, wavs: Sequence[np.ndarray], bucket: Dict) -> List[Dict]:
+    def _dispatch(self, exported, args, n, unpack):
+        """Launch a packed batch (async JAX dispatch) on the round-robin
+        device; returns a handle for _finalize_call."""
+        if self._devices:
+            import jax
+
+            dev = self._devices[next(self._rr) % len(self._devices)]
+            args = tuple(jax.device_put(a, dev) for a in args)
+        return (exported.call(*args), n, unpack)
+
+    @staticmethod
+    def _finalize_call(handle) -> List:
+        out, n, unpack = handle
+        return unpack(out, n)
+
+    @staticmethod
+    def _unpack_feature_dict(out, n: int) -> List[Dict]:
+        out = {k: np.asarray(v) for k, v in out.items()}
+        return [{k: v[i] for k, v in out.items()} for i in range(n)]
+
+    @staticmethod
+    def _unpack_rows(out, n: int) -> List[np.ndarray]:
+        out = np.asarray(out)
+        return [out[i] for i in range(n)]
+
+    def _speech_dispatch(self, wavs: Sequence[np.ndarray], bucket: Dict):
         n = len(wavs)
         s = bucket["wav_samples"]
         wav_arr = np.zeros((n, s), np.float32)
@@ -299,9 +387,13 @@ class EncoderService:
         wav_arr, wav_len = self._pad_rows(
             wav_arr, wav_len, bucket["fixed_batch"], pad_len=s
         )
-        out = bucket["exported"].call(wav_arr, wav_len)
-        out = {k: np.asarray(v) for k, v in out.items()}
-        return [{k: v[i] for k, v in out.items()} for i in range(n)]
+        return self._dispatch(
+            bucket["exported"], (wav_arr, wav_len), n, self._unpack_feature_dict
+        )
+
+    def _speech_batch(self, wavs: Sequence[np.ndarray], bucket: Dict) -> List[Dict]:
+        """Synchronous dispatch+finalize (warmup and direct callers)."""
+        return self._finalize_call(self._speech_dispatch(wavs, bucket))
 
     # ------------------------------------------------------------- image
     def encode_image(self, image) -> np.ndarray:
@@ -341,12 +433,16 @@ class EncoderService:
             )
         return image.astype(np.float32)
 
-    def _image_batch(self, images: Sequence[np.ndarray]) -> List[np.ndarray]:
+    def _image_dispatch(self, images: Sequence[np.ndarray]):
         n = len(images)
         arr = np.stack([np.asarray(im, np.float32) for im in images])
         arr, _ = self._pad_rows(arr, None, self.fixed_batch_image)
-        out = np.asarray(self._exported["encode_image"].call(arr))
-        return [out[i] for i in range(n)]
+        return self._dispatch(
+            self._exported["encode_image"], (arr,), n, self._unpack_rows
+        )
+
+    def _image_batch(self, images: Sequence[np.ndarray]) -> List[np.ndarray]:
+        return self._finalize_call(self._image_dispatch(images))
 
     # -------------------------------------------------------------- text
     def encode_text(self, token_ids: np.ndarray, eot_position: int) -> np.ndarray:
@@ -378,13 +474,17 @@ class EncoderService:
             .result()
         )
 
-    def _text_batch(self, items: Sequence) -> List[np.ndarray]:
+    def _text_dispatch(self, items: Sequence):
         n = len(items)
         ids = np.stack([ids for ids, _ in items])
         eots = np.asarray([eot for _, eot in items], np.int32)
         ids, eots = self._pad_rows(ids, eots, self.fixed_batch_text, pad_len=0)
-        out = np.asarray(self._exported["encode_text"].call(ids, eots))
-        return [out[i] for i in range(n)]
+        return self._dispatch(
+            self._exported["encode_text"], (ids, eots), n, self._unpack_rows
+        )
+
+    def _text_batch(self, items: Sequence) -> List[np.ndarray]:
+        return self._finalize_call(self._text_dispatch(items))
 
     # ----------------------------------------------------------- helpers
     @staticmethod
@@ -630,6 +730,14 @@ def main():
         help="compile every artifact before accepting traffic (first "
         "calls otherwise pay the XLA compile on a user request)",
     )
+    parser.add_argument(
+        "--devices",
+        type=int,
+        default=None,
+        help="round-robin dispatched batches across the first N "
+        "jax.devices() (pipelined: batch N+1 launches while batch N "
+        "computes); default = the backend's default device",
+    )
     args = parser.parse_args()
 
     if args.platform:
@@ -637,8 +745,16 @@ def main():
 
         jax.config.update("jax_platforms", args.platform)
 
+    devices = None
+    if args.devices and args.devices > 1:
+        import jax
+
+        devices = jax.devices()[: args.devices]
     service = EncoderService(
-        args.artifacts, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+        args.artifacts,
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        devices=devices,
     )
     if args.warmup:
         print("warming up (compiling artifacts)...", flush=True)

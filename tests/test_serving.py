@@ -323,6 +323,44 @@ class TestMultiBucketServing:
             svc.close()
 
 
+class TestMultiDeviceServing:
+    def test_round_robin_dispatch_across_devices(
+        self, model_and_state, tmp_path
+    ):
+        """devices=[d0, d1]: consecutive dispatched batches land on
+        alternating devices (pipelined: the fetch thread syncs while the
+        worker launches the next batch) and produce identical features."""
+        devs = jax.devices()
+        assert len(devs) >= 2  # conftest forces an 8-device CPU platform
+        model, params, state = model_and_state
+        _write_artifacts(model, params, state, str(tmp_path), False)
+        svc = EncoderService(
+            str(tmp_path), max_wait_ms=5.0, devices=devs[:2]
+        )
+        try:
+            wav = np.random.default_rng(8).standard_normal(900).astype(
+                np.float32
+            )
+            bucket = svc._route_speech(900)
+            h1 = svc._speech_dispatch([wav], bucket)
+            h2 = svc._speech_dispatch([wav], bucket)
+            d1 = next(iter(list(h1[0].values())[0].devices()))
+            d2 = next(iter(list(h2[0].values())[0].devices()))
+            assert d1 != d2  # round-robin actually moved devices
+            r1 = svc._finalize_call(h1)[0]
+            r2 = svc._finalize_call(h2)[0]
+            np.testing.assert_allclose(
+                r1["parallel_audio_feat"], r2["parallel_audio_feat"], atol=1e-6
+            )
+            # end-to-end through the batcher + fetch pipeline too
+            out = svc.encode_speech(wav)
+            np.testing.assert_allclose(
+                out["parallel_audio_feat"], r1["parallel_audio_feat"], atol=1e-6
+            )
+        finally:
+            svc.close()
+
+
 class TestRetrievalService:
     def test_gallery_retrieve_matches_direct_cosine_math(self, service):
         """The online gallery must reproduce the score math of the
