@@ -17,6 +17,7 @@ import time
 sys.path.insert(0, ".")
 
 PLATFORM = None
+N_DEVICES = None
 args = []
 _argv = iter(sys.argv[1:])
 for a in _argv:
@@ -24,8 +25,12 @@ for a in _argv:
         PLATFORM = a.split("=", 1)[1]
     elif a == "--platform":
         PLATFORM = next(_argv, None)
+    elif a.startswith("--devices="):
+        N_DEVICES = int(a.split("=", 1)[1])
+    elif a == "--devices":
+        N_DEVICES = int(next(_argv))
     elif a.startswith("--"):
-        raise SystemExit(f"unknown flag {a!r} (valid: --platform)")
+        raise SystemExit(f"unknown flag {a!r} (valid: --platform, --devices)")
     else:
         args.append(a)
 BATCH = int(args[0]) if len(args) > 0 else 8
@@ -44,6 +49,8 @@ def main():
 
     if PLATFORM:
         jax.config.update("jax_platforms", PLATFORM)
+    if N_DEVICES and N_DEVICES > 1 and PLATFORM == "cpu":
+        jax.config.update("jax_num_cpu_devices", N_DEVICES)
 
     from speechclip_tpu import export as export_mod
     from speechclip_tpu.config import flagship_tiny_config
@@ -65,7 +72,12 @@ def main():
     with open(os.path.join(art_dir, "encode_speech.stablehlo"), "wb") as f:
         f.write(blob)
 
-    svc = EncoderService(art_dir, max_wait_ms=8.0)
+    devices = (
+        jax.devices()[:N_DEVICES] if N_DEVICES and N_DEVICES > 1 else None
+    )
+    if devices:
+        print(f"round-robin over {len(devices)} devices", flush=True)
+    svc = EncoderService(art_dir, max_wait_ms=8.0, devices=devices)
     t0 = time.perf_counter()
     svc.warmup()
     print(f"warmup (compile): {time.perf_counter() - t0:.1f} s", flush=True)

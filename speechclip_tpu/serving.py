@@ -350,14 +350,15 @@ class EncoderService:
                 return bucket
         return self._speech_buckets[-1]
 
-    def _dispatch(self, exported, args, n, unpack):
+    def _dispatch(self, exported, args, n, unpack, device=None):
         """Launch a packed batch (async JAX dispatch) on the round-robin
-        device; returns a handle for _finalize_call."""
-        if self._devices:
+        device (or an explicit one); returns a handle for _finalize_call."""
+        if device is None and self._devices:
+            device = self._devices[next(self._rr) % len(self._devices)]
+        if device is not None:
             import jax
 
-            dev = self._devices[next(self._rr) % len(self._devices)]
-            args = tuple(jax.device_put(a, dev) for a in args)
+            args = tuple(jax.device_put(a, device) for a in args)
         return (exported.call(*args), n, unpack)
 
     @staticmethod
@@ -375,7 +376,9 @@ class EncoderService:
         out = np.asarray(out)
         return [out[i] for i in range(n)]
 
-    def _speech_dispatch(self, wavs: Sequence[np.ndarray], bucket: Dict):
+    def _speech_dispatch(
+        self, wavs: Sequence[np.ndarray], bucket: Dict, device=None
+    ):
         n = len(wavs)
         s = bucket["wav_samples"]
         wav_arr = np.zeros((n, s), np.float32)
@@ -388,12 +391,18 @@ class EncoderService:
             wav_arr, wav_len, bucket["fixed_batch"], pad_len=s
         )
         return self._dispatch(
-            bucket["exported"], (wav_arr, wav_len), n, self._unpack_feature_dict
+            bucket["exported"],
+            (wav_arr, wav_len),
+            n,
+            self._unpack_feature_dict,
+            device=device,
         )
 
-    def _speech_batch(self, wavs: Sequence[np.ndarray], bucket: Dict) -> List[Dict]:
+    def _speech_batch(
+        self, wavs: Sequence[np.ndarray], bucket: Dict, device=None
+    ) -> List[Dict]:
         """Synchronous dispatch+finalize (warmup and direct callers)."""
-        return self._finalize_call(self._speech_dispatch(wavs, bucket))
+        return self._finalize_call(self._speech_dispatch(wavs, bucket, device))
 
     # ------------------------------------------------------------- image
     def encode_image(self, image) -> np.ndarray:
@@ -433,16 +442,19 @@ class EncoderService:
             )
         return image.astype(np.float32)
 
-    def _image_dispatch(self, images: Sequence[np.ndarray]):
+    def _image_dispatch(self, images: Sequence[np.ndarray], device=None):
         n = len(images)
         arr = np.stack([np.asarray(im, np.float32) for im in images])
         arr, _ = self._pad_rows(arr, None, self.fixed_batch_image)
         return self._dispatch(
-            self._exported["encode_image"], (arr,), n, self._unpack_rows
+            self._exported["encode_image"], (arr,), n, self._unpack_rows,
+            device=device,
         )
 
-    def _image_batch(self, images: Sequence[np.ndarray]) -> List[np.ndarray]:
-        return self._finalize_call(self._image_dispatch(images))
+    def _image_batch(
+        self, images: Sequence[np.ndarray], device=None
+    ) -> List[np.ndarray]:
+        return self._finalize_call(self._image_dispatch(images, device))
 
     # -------------------------------------------------------------- text
     def encode_text(self, token_ids: np.ndarray, eot_position: int) -> np.ndarray:
@@ -474,17 +486,18 @@ class EncoderService:
             .result()
         )
 
-    def _text_dispatch(self, items: Sequence):
+    def _text_dispatch(self, items: Sequence, device=None):
         n = len(items)
         ids = np.stack([ids for ids, _ in items])
         eots = np.asarray([eot for _, eot in items], np.int32)
         ids, eots = self._pad_rows(ids, eots, self.fixed_batch_text, pad_len=0)
         return self._dispatch(
-            self._exported["encode_text"], (ids, eots), n, self._unpack_rows
+            self._exported["encode_text"], (ids, eots), n, self._unpack_rows,
+            device=device,
         )
 
-    def _text_batch(self, items: Sequence) -> List[np.ndarray]:
-        return self._finalize_call(self._text_dispatch(items))
+    def _text_batch(self, items: Sequence, device=None) -> List[np.ndarray]:
+        return self._finalize_call(self._text_dispatch(items, device))
 
     # ----------------------------------------------------------- helpers
     @staticmethod
@@ -584,27 +597,35 @@ class EncoderService:
         return sizes
 
     def warmup(self) -> None:
-        """Compile every (artifact, batch shape) before taking traffic:
-        first calls pay the serving platform's XLA compile (minutes on
-        remote-compiled backends) — absorb that at startup, not on a user
-        request. Covers all shapes _pad_rows can produce."""
-        for bucket in self._speech_buckets:
-            for n in self._warm_sizes(
-                bucket["fixed_batch"], bucket["batcher"].max_batch
-            ):
-                self._speech_batch([np.zeros(16, np.float32)] * n, bucket)
-        if "encode_image" in self._exported:
-            img = np.zeros((self.image_size, self.image_size, 3), np.float32)
-            for n in self._warm_sizes(
-                self.fixed_batch_image, self.batchers["encode_image"].max_batch
-            ):
-                self._image_batch([img] * n)
-        if "encode_text" in self._exported:
-            item = (np.zeros(self.context_length, np.int32), 0)
-            for n in self._warm_sizes(
-                self.fixed_batch_text, self.batchers["encode_text"].max_batch
-            ):
-                self._text_batch([item] * n)
+        """Compile every (artifact, batch shape, device) before taking
+        traffic: first calls pay the serving platform's XLA compile
+        (minutes on remote-compiled backends) — absorb that at startup,
+        not on a user request. Covers all shapes _pad_rows can produce,
+        on every round-robin device."""
+        for dev in self._devices or [None]:  # every round-robin device
+            for bucket in self._speech_buckets:
+                for n in self._warm_sizes(
+                    bucket["fixed_batch"], bucket["batcher"].max_batch
+                ):
+                    self._speech_batch(
+                        [np.zeros(16, np.float32)] * n, bucket, device=dev
+                    )
+            if "encode_image" in self._exported:
+                img = np.zeros(
+                    (self.image_size, self.image_size, 3), np.float32
+                )
+                for n in self._warm_sizes(
+                    self.fixed_batch_image,
+                    self.batchers["encode_image"].max_batch,
+                ):
+                    self._image_batch([img] * n, device=dev)
+            if "encode_text" in self._exported:
+                item = (np.zeros(self.context_length, np.int32), 0)
+                for n in self._warm_sizes(
+                    self.fixed_batch_text,
+                    self.batchers["encode_text"].max_batch,
+                ):
+                    self._text_batch([item] * n, device=dev)
 
     def stats(self) -> Dict:
         return {
