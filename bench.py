@@ -233,8 +233,16 @@ def train_step_ms(cache_images=False):
     @jax.jit
     def multi_step(s, b):
         def body(i, s):
+            # every carry-independent batch field must be perturbed by the
+            # carry or XLA hoists its (frozen-tower) forward out of the loop
+            # — with a constant image the ViT fwd ran once per 8 steps,
+            # understating the step ~11 ms and hiding the image-cache win
             b2 = dict(b)
             b2["wav"] = b["wav"] + (0.0 * s.step).astype(b["wav"].dtype)
+            if "image" in b2:
+                b2["image"] = b["image"] + (0.0 * s.step).astype(
+                    b["image"].dtype
+                )
             s2, _ = train_step(s, b2)
             return s2
 

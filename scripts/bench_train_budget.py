@@ -82,10 +82,16 @@ def main():
     def loop(body):
         def fn(p, batch):
             def step(i, acc):
+                # EVERY body input must depend on the carry: with only wav
+                # perturbed, XLA's loop-invariant code motion hoists the
+                # frozen image-tower forward out of the loop (measured:
+                # full step 263 -> 286.5 ms once the image is perturbed)
                 b2 = dict(batch)
-                b2["wav"] = batch["wav"] + (acc[0] * 0).astype(
-                    batch["wav"].dtype
-                )
+                for k in ("wav", "image"):
+                    if k in b2:
+                        b2[k] = batch[k] + (acc[0] * 0).astype(
+                            batch[k].dtype
+                        )
                 out = body(p, b2)
                 return jnp.ones((1,), jnp.float32) * out + i * 0.0
 
@@ -150,7 +156,10 @@ def main():
         def multi(s, b):
             def body(i, s):
                 b2 = dict(b)
-                b2["wav"] = b["wav"] + (0.0 * i).astype(b["wav"].dtype)
+                b2["wav"] = b["wav"] + (0.0 * s.step).astype(b["wav"].dtype)
+                b2["image"] = b["image"] + (0.0 * s.step).astype(
+                    b["image"].dtype
+                )
                 s2, _ = train_step(s, b2)
                 return s2
 
