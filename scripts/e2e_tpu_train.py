@@ -156,6 +156,11 @@ def write_config(path, dataset_root, exp_dir, vocab_npy):
             "check_val_every_n_epoch": 1000,  # skip mid-train eval compiles
             "precision": 16,
             "fast_rng": True,
+            # the shipped-config default operating point: exercises the
+            # per-fit frozen image-feature cache path on real hardware
+            # (precompute unique images -> loader skips image decode ->
+            # step consumes cached features)
+            "cache_image_features": True,
             "logger": "none",
             "log_every_n_steps": 1,
             "default_root_dir": exp_dir,
