@@ -1,14 +1,34 @@
 """Serving-runtime throughput: concurrent requests through EncoderService.
 
-Exports tiny-dims artifacts on the ambient backend (or --platform cpu),
-warms up, then measures end-to-end request throughput at several client
-concurrency levels — the number that matters for the serving story is how
-well the micro-batcher turns concurrent single-utterance requests into
-full device batches (mean achieved batch size vs the fixed batch).
+Two backends (speechclip_tpu/serving.py):
+  --backend artifact  — tiny-dims StableHLO export artifacts (the relay
+                        cannot compile weight-constant artifacts at
+                        flagship dims — docs/DESIGN_NOTES.md), so this
+                        backend only ever drives toy dims on TPU.
+  --backend jit       — EncoderService.from_model: the encoder surfaces
+                        jitted with params as call ARGUMENTS. This is the
+                        backend that reaches PRODUCTION dims on the axon
+                        relay (same constraint class as bench.py, which
+                        compiles these functions at full dims every run).
 
-Run: python scripts/bench_serving.py [--platform cpu] [BATCH [WAV_SAMPLES [N_REQ]]]
-(tiny dims by default for the axon relay, same constraint as
-scripts/verify_export_tpu.py — export bakes weights as constants.)
+Dims:
+  --dims tiny         — the hermetic tiny model (CI/CPU smoke).
+  --dims flagship     — HuBERT-base + ViT-B/32 at production dims with
+                        real wav-length buckets (3.2 s + 6.4 s, the
+                        loader's quantile-bucket convention; 6.4 s is the
+                        reference's max_audio_len crop,
+                        config/.../spchclp_p.yaml:104).
+
+Measures, at several client concurrency levels: end-to-end request
+throughput, per-request latency p50/p95 (what a serving SLA is written
+against), and mean achieved device batch (how well the micro-batcher
+turns concurrent single-utterance requests into full batches).
+
+Run: python scripts/bench_serving.py [--backend jit] [--dims flagship]
+        [--platform cpu] [--devices N] [--dtype bf16]
+        [BATCH [WAV_SAMPLES [N_REQ]]]
+(BATCH = fixed device batch; WAV_SAMPLES only applies to --dims tiny —
+flagship always uses the 51200/102400 bucket pair.)
 """
 
 import sys
@@ -18,6 +38,9 @@ sys.path.insert(0, ".")
 
 PLATFORM = None
 N_DEVICES = None
+BACKEND = "artifact"
+DIMS = "tiny"
+DTYPE = None
 args = []
 _argv = iter(sys.argv[1:])
 for a in _argv:
@@ -29,18 +52,99 @@ for a in _argv:
         N_DEVICES = int(a.split("=", 1)[1])
     elif a == "--devices":
         N_DEVICES = int(next(_argv))
+    elif a.startswith("--backend="):
+        BACKEND = a.split("=", 1)[1]
+    elif a == "--backend":
+        BACKEND = next(_argv)
+    elif a.startswith("--dims="):
+        DIMS = a.split("=", 1)[1]
+    elif a == "--dims":
+        DIMS = next(_argv)
+    elif a == "--dtype":
+        DTYPE = next(_argv)
+    elif a.startswith("--dtype="):
+        DTYPE = a.split("=", 1)[1]
     elif a.startswith("--"):
-        raise SystemExit(f"unknown flag {a!r} (valid: --platform, --devices)")
+        raise SystemExit(
+            f"unknown flag {a!r} "
+            "(valid: --platform, --devices, --backend, --dims, --dtype)"
+        )
     else:
         args.append(a)
+if BACKEND not in ("artifact", "jit"):
+    raise SystemExit(f"--backend must be artifact|jit, got {BACKEND!r}")
+if DIMS not in ("tiny", "flagship"):
+    raise SystemExit(f"--dims must be tiny|flagship, got {DIMS!r}")
+if DIMS == "flagship" and BACKEND == "artifact":
+    raise SystemExit(
+        "--dims flagship needs --backend jit: the relay cannot compile "
+        "weight-constant artifacts at flagship dims (DESIGN_NOTES)"
+    )
 BATCH = int(args[0]) if len(args) > 0 else 8
 WAV_SAMPLES = int(args[1]) if len(args) > 1 else 16000
 N_REQ = int(args[2]) if len(args) > 2 else 64
 
+FLAGSHIP_BUCKETS = (51200, 102400)  # 3.2 s / 6.4 s @ 16 kHz
 
-def main():
+
+def build_service(jax):
     import os
     import tempfile
+
+    from speechclip_tpu.serving import EncoderService
+
+    devices = (
+        jax.devices()[:N_DEVICES] if N_DEVICES and N_DEVICES > 1 else None
+    )
+    if devices:
+        print(f"round-robin over {len(devices)} devices", flush=True)
+
+    if DIMS == "flagship":
+        from __graft_entry__ import _flagship_config
+        from speechclip_tpu.models.speechclip import SpeechCLIPModel
+
+        cfg = _flagship_config()
+        cfg.audio_encoder.conv_batch_chunk = min(BATCH, 256)
+        model = SpeechCLIPModel(cfg)
+        params, state = model.init(jax.random.key(0))
+        buckets = FLAGSHIP_BUCKETS
+        return (
+            EncoderService.from_model(
+                model, params, state, wav_buckets=buckets, batch=BATCH,
+                dtype=DTYPE, max_wait_ms=8.0, devices=devices,
+            ),
+            buckets,
+        )
+
+    from speechclip_tpu.config import flagship_tiny_config
+    from speechclip_tpu.models.speechclip import SpeechCLIPModel
+
+    model = SpeechCLIPModel(flagship_tiny_config())
+    params, state = model.init(jax.random.key(0))
+    if BACKEND == "jit":
+        return (
+            EncoderService.from_model(
+                model, params, state, wav_buckets=(WAV_SAMPLES,), batch=BATCH,
+                dtype=DTYPE, max_wait_ms=8.0, devices=devices,
+            ),
+            (WAV_SAMPLES,),
+        )
+
+    from speechclip_tpu import export as export_mod
+
+    art_dir = tempfile.mkdtemp(prefix="serve_bench_")
+    blob = export_mod.export_encode_speech(
+        model, params, state, BATCH, WAV_SAMPLES
+    )
+    with open(os.path.join(art_dir, "encode_speech.stablehlo"), "wb") as f:
+        f.write(blob)
+    return (
+        EncoderService(art_dir, max_wait_ms=8.0, devices=devices),
+        (WAV_SAMPLES,),
+    )
+
+
+def main():
     import threading
 
     import numpy as np
@@ -52,53 +156,46 @@ def main():
     if N_DEVICES and N_DEVICES > 1 and PLATFORM == "cpu":
         jax.config.update("jax_num_cpu_devices", N_DEVICES)
 
-    from speechclip_tpu import export as export_mod
-    from speechclip_tpu.config import flagship_tiny_config
-    from speechclip_tpu.models.speechclip import SpeechCLIPModel
-    from speechclip_tpu.serving import EncoderService
-
     print(
-        f"backend: {jax.devices()[0].platform} x{len(jax.devices())} "
-        f"(fixed batch {BATCH}, wav {WAV_SAMPLES}, {N_REQ} requests/level)",
+        f"backend: {BACKEND}/{DIMS} on {jax.devices()[0].platform} "
+        f"x{len(jax.devices())} (fixed batch {BATCH}, {N_REQ} requests/level)",
         flush=True,
     )
-    model = SpeechCLIPModel(flagship_tiny_config())
-    params, state = model.init(jax.random.key(0))
-
-    art_dir = tempfile.mkdtemp(prefix="serve_bench_")
-    blob = export_mod.export_encode_speech(
-        model, params, state, BATCH, WAV_SAMPLES
-    )
-    with open(os.path.join(art_dir, "encode_speech.stablehlo"), "wb") as f:
-        f.write(blob)
-
-    devices = (
-        jax.devices()[:N_DEVICES] if N_DEVICES and N_DEVICES > 1 else None
-    )
-    if devices:
-        print(f"round-robin over {len(devices)} devices", flush=True)
-    svc = EncoderService(art_dir, max_wait_ms=8.0, devices=devices)
+    svc, buckets = build_service(jax)
+    speech_batchers = [
+        name for name in svc.batchers if name.startswith("encode_speech")
+    ]
     t0 = time.perf_counter()
     svc.warmup()
     print(f"warmup (compile): {time.perf_counter() - t0:.1f} s", flush=True)
 
     rng = np.random.default_rng(0)
-    wav = rng.standard_normal(WAV_SAMPLES).astype(np.float32)
+    # mixed lengths spanning the buckets: short requests must ride the
+    # short bucket, not pay long-bucket compute
+    wavs = [
+        rng.standard_normal(n).astype(np.float32)
+        for n in np.linspace(buckets[0] // 2, buckets[-1], 8).astype(int)
+    ]
 
     for concurrency in (1, BATCH // 2 or 1, BATCH, 2 * BATCH):
         done = threading.Semaphore(0)
         t_start = time.perf_counter()
-        b0 = svc.batchers["encode_speech"].batches_run
+        b0 = {n: svc.batchers[n].batches_run for n in speech_batchers}
         remaining = [N_REQ]
         lock = threading.Lock()
+        latencies = []
 
         def client():
             while True:
                 with lock:
                     if remaining[0] == 0:
                         break
-                    remaining[0] -= 1
-                svc.encode_speech(wav)
+                    i = remaining[0] = remaining[0] - 1
+                t_req = time.perf_counter()
+                svc.encode_speech(wavs[i % len(wavs)])
+                dt = time.perf_counter() - t_req
+                with lock:
+                    latencies.append(dt)
             done.release()
 
         threads = [threading.Thread(target=client) for _ in range(concurrency)]
@@ -107,10 +204,14 @@ def main():
         for _ in threads:
             done.acquire()
         dt = time.perf_counter() - t_start
-        batches = svc.batchers["encode_speech"].batches_run - b0
+        batches = sum(
+            svc.batchers[n].batches_run - b0[n] for n in speech_batchers
+        )
+        lat = np.asarray(latencies) * 1e3
         print(
-            f"concurrency {concurrency:3d}: {N_REQ / dt:7.1f} req/s "
-            f"({dt * 1e3 / N_REQ:6.2f} ms/req amortized, "
+            f"concurrency {concurrency:3d}: {N_REQ / dt:7.1f} utt/s "
+            f"(latency p50 {np.percentile(lat, 50):7.1f} ms / "
+            f"p95 {np.percentile(lat, 95):7.1f} ms, "
             f"mean batch {N_REQ / max(batches, 1):.1f} over {batches} device calls)",
             flush=True,
         )

@@ -1,9 +1,18 @@
-"""Dynamic-batching serving runtime over the AOT export artifacts.
+"""Dynamic-batching serving runtime (AOT artifacts or jit-from-checkpoint).
 
 The reference has no serving story — inference means importing the full
-training repo (reference example.py:10-40). `export.py` already produces
-self-contained StableHLO artifacts; this module is the runtime that turns
-them into a service:
+training repo (reference example.py:10-40). This module is the runtime:
+micro-batching, wav-length bucket routing, multi-device round-robin, and a
+stdlib HTTP front, over either of two interchangeable backends:
+
+- **artifact**: self-contained StableHLO blobs from `export.py` (weights
+  baked as constants — zero-dependency deployment), or
+- **jit** (``EncoderService.from_checkpoint`` / ``.from_model``): the same
+  encoder surfaces jitted with params passed as call arguments — the
+  backend that runs PRODUCTION dims on remote-compiled platforms whose
+  compilers reject giant weight-constant graphs (docs/DESIGN_NOTES.md).
+
+Runtime surface:
 
 - ``MicroBatcher`` — a request coalescer: concurrent single-item requests
   are gathered into one device batch (up to ``max_batch``, waiting at most
@@ -184,6 +193,67 @@ def _static_dim(d) -> Optional[int]:
     return int(d) if isinstance(d, (int, np.integer)) else None
 
 
+class _ArtifactEncoder:
+    """A deserialized StableHLO artifact behind the uniform encoder
+    contract (``.in_avals`` + ``.call(*args, device=)``). Weights ride
+    inside the artifact as constants — self-contained single file, the
+    zero-dependency deployment path (export.py)."""
+
+    def __init__(self, exported):
+        self._exported = exported
+        self.in_avals = list(exported.in_avals)
+
+    def call(self, *args, device=None):
+        if device is not None:
+            import jax
+
+            args = tuple(jax.device_put(a, device) for a in args)
+        return self._exported.call(*args)
+
+
+class _JitEncoder:
+    """A jitted model surface behind the same contract, with params/state
+    passed as jit ARGUMENTS on every call — never baked in as constants.
+
+    This is the backend that reaches production dims on remote-compiled
+    platforms: the axon relay compiles these same functions at flagship
+    dims on every bench run when params are arguments, but never finished
+    compiling a weight-constant StableHLO artifact at those dims (50 min,
+    no output — docs/DESIGN_NOTES.md "Full-dims StableHLO export drive";
+    the constant-free graph is also what keeps the request under the
+    remote compiler's HTTP 413 size limit). Captures (params/state) are
+    ``device_put`` once per serving device and cached, so steady-state
+    calls ship activations only.
+    """
+
+    def __init__(self, fn, captures, in_avals):
+        import jax
+
+        self._jit = jax.jit(fn)
+        self._captures = captures  # tuple of pytrees: (params[, state])
+        self._placed: Dict = {}
+        self._placed_lock = threading.Lock()
+        self.in_avals = list(in_avals)
+
+    def _captures_on(self, device):
+        if device is None:
+            return self._captures
+        with self._placed_lock:  # one transfer per device, ever
+            if device not in self._placed:
+                import jax
+
+                self._placed[device] = jax.device_put(self._captures, device)
+            return self._placed[device]
+
+    def call(self, *args, device=None):
+        captures = self._captures_on(device)
+        if device is not None:
+            import jax
+
+            args = tuple(jax.device_put(a, device) for a in args)
+        return self._jit(*captures, *args)
+
+
 def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length() if n > 1 else 1
 
@@ -196,20 +266,31 @@ def _cap_batch(max_batch: Optional[int], fixed_batch: Optional[int]) -> int:
 
 
 class EncoderService:
-    """The exported encoders as padded, micro-batched callables."""
+    """The encoder surfaces as padded, micro-batched callables.
+
+    Two backends behind one runtime (same batchers, bucket routing,
+    padding, warmup, gallery, HTTP front):
+
+    - **artifact** (``EncoderService(artifact_dir)``): deserialized
+      StableHLO artifacts from export.py — self-contained, weights as
+      constants.
+    - **jit** (``EncoderService.from_checkpoint(ckpt, ...)`` /
+      ``.from_model(model, params, state, ...)``): the same three surfaces
+      jitted directly, params passed as call arguments — the backend that
+      runs production dims on remote-compiled platforms (see _JitEncoder).
+    """
 
     def __init__(
         self,
-        artifact_dir: str,
+        artifact_dir: Optional[str] = None,
         max_batch: Optional[int] = None,
         max_wait_ms: float = 5.0,
         devices: Optional[Sequence] = None,
         pipeline_depth: int = 2,
+        _encoders: Optional[List] = None,
     ):
         import itertools
         import os
-
-        from jax import export as jexport
 
         # multi-device serving: round-robin each dispatched batch across
         # `devices` (jax.devices() subset). The batchers' pipelined mode
@@ -221,20 +302,34 @@ class EncoderService:
         self._pipeline_depth = pipeline_depth
 
         self._exported: Dict = {}
-        speech_artifacts = []
-        for fname in sorted(os.listdir(artifact_dir)):
-            if not fname.endswith(".stablehlo"):
-                continue
-            stem = fname[: -len(".stablehlo")]
-            with open(os.path.join(artifact_dir, fname), "rb") as f:
-                exported = jexport.deserialize(f.read())
-            if stem.startswith("encode_speech"):
-                # bucket length comes from the artifact's own aval, not the
-                # filename suffix (encode_speech@<n> is just a convention)
-                speech_artifacts.append(exported)
-            elif stem in ("encode_image", "encode_text"):
-                self._exported[stem] = exported
-        if not self._exported and not speech_artifacts:
+        speech_encoders = []
+        if _encoders is not None:  # from_model/from_checkpoint backend
+            for stem, encoder in _encoders:
+                if stem == "encode_speech":
+                    speech_encoders.append(encoder)
+                else:
+                    self._exported[stem] = encoder
+        else:
+            if artifact_dir is None:
+                raise TypeError(
+                    "EncoderService needs an artifact_dir (or use "
+                    "EncoderService.from_checkpoint / .from_model)"
+                )
+            from jax import export as jexport
+
+            for fname in sorted(os.listdir(artifact_dir)):
+                if not fname.endswith(".stablehlo"):
+                    continue
+                stem = fname[: -len(".stablehlo")]
+                with open(os.path.join(artifact_dir, fname), "rb") as f:
+                    exported = _ArtifactEncoder(jexport.deserialize(f.read()))
+                if stem.startswith("encode_speech"):
+                    # bucket length comes from the artifact's own aval, not
+                    # the filename suffix (encode_speech@<n> is convention)
+                    speech_encoders.append(exported)
+                elif stem in ("encode_image", "encode_text"):
+                    self._exported[stem] = exported
+        if not self._exported and not speech_encoders:
             raise FileNotFoundError(
                 f"no *.stablehlo artifacts under {artifact_dir} "
                 "(produce them with python -m speechclip_tpu.export)"
@@ -242,12 +337,12 @@ class EncoderService:
 
         self.batchers: Dict[str, MicroBatcher] = {}
         # speech buckets (bucketed-loader design carried into serving): one
-        # artifact per static wav length; requests route to the smallest
+        # encoder per static wav length; requests route to the smallest
         # bucket that fits, overlong audio crops to the largest
         self._speech_buckets: List[Dict] = []
-        speech_artifacts.sort(key=lambda e: int(e.in_avals[0].shape[1]))
+        speech_encoders.sort(key=lambda e: int(e.in_avals[0].shape[1]))
         seen_lengths = set()
-        for exported in speech_artifacts:
+        for exported in speech_encoders:
             wav_aval = exported.in_avals[0]
             bucket = {
                 "exported": exported,
@@ -318,6 +413,142 @@ class EncoderService:
         self._gallery_feats: List[np.ndarray] = []
         self._gallery_matrix: Optional[np.ndarray] = None
 
+    # ----------------------------------------------------- jit backend
+    @classmethod
+    def from_model(
+        cls,
+        model,
+        params,
+        state,
+        wav_buckets: Sequence[int] = (102400,),
+        batch: int = 8,
+        dtype=None,
+        **kw,
+    ):
+        """Serve an in-memory model directly: the three encoder surfaces
+        as jitted calls (params as arguments — _JitEncoder), behind the
+        same micro-batching/bucket-routing/warmup machinery as the
+        artifact backend.
+
+        ``wav_buckets`` — one fixed wav length per serving bucket (the
+        export CLI's ``--wav-samples`` contract); ``batch`` — the fixed
+        device batch each bucket pads to (one XLA compile per bucket);
+        ``dtype`` — optional float-weight cast ("bf16" halves param bytes;
+        the shipped precision-16 configs compute in bf16 anyway).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        if dtype is not None:
+            from .export import cast_float_params
+
+            dtype = jnp.bfloat16 if dtype in ("bf16", "bfloat16") else dtype
+            params = cast_float_params(params, dtype)
+        state = state or {}
+        batch = int(batch)
+
+        def speech_fn(params, state, wav, wav_len):
+            out = model.encode_speech(params, state, wav, wav_len)
+            # same surface as export_encode_speech (export.py): arrays
+            # only, vq diagnostics dropped
+            return {
+                k: v
+                for k, v in out.items()
+                if hasattr(v, "shape")
+                if k != "vq_results"
+            }
+
+        encoders = []
+        for n in sorted({int(b) for b in wav_buckets}):
+            encoders.append(
+                (
+                    "encode_speech",
+                    _JitEncoder(
+                        speech_fn,
+                        (params, state),
+                        [
+                            jax.ShapeDtypeStruct((batch, n), jnp.float32),
+                            jax.ShapeDtypeStruct((batch,), jnp.int32),
+                        ],
+                    ),
+                )
+            )
+        size = model.clip_cfg.vision.image_size
+        encoders.append(
+            (
+                "encode_image",
+                _JitEncoder(
+                    lambda params, images: model.forward_image(params, images),
+                    (params,),
+                    [jax.ShapeDtypeStruct((batch, size, size, 3), jnp.float32)],
+                ),
+            )
+        )
+        ctx = model.clip_cfg.text.context_length
+        encoders.append(
+            (
+                "encode_text",
+                _JitEncoder(
+                    lambda params, text, eot: model.forward_text(
+                        params, text, eot
+                    ),
+                    (params,),
+                    [
+                        jax.ShapeDtypeStruct((batch, ctx), jnp.int32),
+                        jax.ShapeDtypeStruct((batch,), jnp.int32),
+                    ],
+                ),
+            )
+        )
+        return cls(None, _encoders=encoders, **kw)
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        ckpt: str,
+        wav_buckets: Sequence[int] = (102400,),
+        batch: int = 8,
+        dtype=None,
+        **kw,
+    ):
+        """Restore a training checkpoint (orbax run dir, or a reference
+        Lightning ``.ckpt``) and serve its encoders via the jit backend —
+        the production-dims serving path (reference inference surface:
+        example.py:10-40, which imports the whole training repo instead).
+        Same restore logic as the export CLI (export.py main)."""
+        from .config import ConfigNode
+        from .models.speechclip import SpeechCLIPModel
+
+        if str(ckpt).endswith(".ckpt"):
+            from .convert.reference_ckpt import load_reference_checkpoint
+
+            params, model_state, config = load_reference_checkpoint(ckpt)
+            model = SpeechCLIPModel(ConfigNode(config))
+            state = model_state or {}
+        else:
+            import jax
+
+            from .training.checkpoint import (
+                load_config_from_checkpoint,
+                restore_inference_state,
+            )
+
+            config = load_config_from_checkpoint(ckpt)
+            # PRNG impl must match the run that wrote the checkpoint and
+            # must be set before any key is created (export.py:218-220)
+            if config.get_path("trainer.fast_rng", False):
+                jax.config.update("jax_default_prng_impl", "rbg")
+            model, params, state = restore_inference_state(config, ckpt)
+        return cls.from_model(
+            model,
+            params,
+            state,
+            wav_buckets=wav_buckets,
+            batch=batch,
+            dtype=dtype,
+            **kw,
+        )
+
     # ------------------------------------------------------------ speech
     def encode_speech(self, wav: np.ndarray) -> Dict[str, np.ndarray]:
         """One waveform -> feature dict; micro-batched within the
@@ -350,16 +581,14 @@ class EncoderService:
                 return bucket
         return self._speech_buckets[-1]
 
-    def _dispatch(self, exported, args, n, unpack, device=None):
+    def _dispatch(self, encoder, args, n, unpack, device=None):
         """Launch a packed batch (async JAX dispatch) on the round-robin
-        device (or an explicit one); returns a handle for _finalize_call."""
+        device (or an explicit one); returns a handle for _finalize_call.
+        Device placement is the encoder's job (the jit backend also keeps
+        per-device param copies)."""
         if device is None and self._devices:
             device = self._devices[next(self._rr) % len(self._devices)]
-        if device is not None:
-            import jax
-
-            args = tuple(jax.device_put(a, device) for a in args)
-        return (exported.call(*args), n, unpack)
+        return (encoder.call(*args, device=device), n, unpack)
 
     @staticmethod
     def _finalize_call(handle) -> List:
@@ -735,7 +964,34 @@ def main():
     import argparse
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("--artifacts", required=True, help="dir of *.stablehlo")
+    backend = parser.add_mutually_exclusive_group(required=True)
+    backend.add_argument("--artifacts", help="dir of *.stablehlo (AOT backend)")
+    backend.add_argument(
+        "--ckpt",
+        help="orbax run dir or reference .ckpt: serve straight from the "
+        "checkpoint via the jit backend (params as call arguments — the "
+        "production-dims path on remote-compiled platforms)",
+    )
+    parser.add_argument(
+        "--wav-samples",
+        type=int,
+        nargs="+",
+        default=[102400],
+        help="(--ckpt only) one serving bucket per wav length, the export "
+        "CLI contract",
+    )
+    parser.add_argument(
+        "--batch",
+        type=int,
+        default=8,
+        help="(--ckpt only) fixed device batch per bucket",
+    )
+    parser.add_argument(
+        "--dtype",
+        default=None,
+        choices=["bf16"],
+        help="(--ckpt only) cast float weights before serving",
+    )
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8787)
     parser.add_argument("--max-batch", type=int, default=None)
@@ -771,12 +1027,23 @@ def main():
         import jax
 
         devices = jax.devices()[: args.devices]
-    service = EncoderService(
-        args.artifacts,
-        max_batch=args.max_batch,
-        max_wait_ms=args.max_wait_ms,
-        devices=devices,
-    )
+    if args.ckpt:
+        service = EncoderService.from_checkpoint(
+            args.ckpt,
+            wav_buckets=args.wav_samples,
+            batch=args.batch,
+            dtype=args.dtype,
+            max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms,
+            devices=devices,
+        )
+    else:
+        service = EncoderService(
+            args.artifacts,
+            max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms,
+            devices=devices,
+        )
     if args.warmup:
         print("warming up (compiling artifacts)...", flush=True)
         service.warmup()

@@ -53,12 +53,23 @@ def _write_artifacts(model, params, state, out_dir, polymorphic):
             f.write(blob)
 
 
-@pytest.fixture(scope="module", params=[False, True], ids=["fixed", "poly"])
+@pytest.fixture(
+    scope="module", params=["fixed", "poly", "jit"], ids=["fixed", "poly", "jit"]
+)
 def service(request, model_and_state, tmp_path_factory):
+    """Every service-level test runs against BOTH backends: the AOT
+    artifact runtime (fixed + polymorphic batch) and the jit-from-model
+    backend (params as call arguments — the production-dims path)."""
     model, params, state = model_and_state
-    out = tmp_path_factory.mktemp(f"artifacts_{request.param}")
-    _write_artifacts(model, params, state, str(out), request.param)
-    svc = EncoderService(str(out), max_wait_ms=30.0)
+    if request.param == "jit":
+        svc = EncoderService.from_model(
+            model, params, state, wav_buckets=(2000,), batch=4,
+            max_wait_ms=30.0,
+        )
+    else:
+        out = tmp_path_factory.mktemp(f"artifacts_{request.param}")
+        _write_artifacts(model, params, state, str(out), request.param == "poly")
+        svc = EncoderService(str(out), max_wait_ms=30.0)
     yield svc
     svc.close()
 
@@ -476,6 +487,177 @@ class TestHTTPServer:
         body = json.loads(resp.read())
         conn.close()
         assert resp.status == 400 and "error" in body
+
+
+class TestJitBackend:
+    """from_model / from_checkpoint: the jit serving backend (params as
+    call arguments — the production-dims path the artifact backend cannot
+    reach on remote-compiled platforms; VERDICT r3 weak #1)."""
+
+    def test_jit_features_equal_artifact_features(
+        self, model_and_state, tmp_path
+    ):
+        """Both backends serve the SAME math: features agree to float
+        tolerance for speech, image, and text."""
+        model, params, state = model_and_state
+        _write_artifacts(model, params, state, str(tmp_path), False)
+        art = EncoderService(str(tmp_path), max_wait_ms=5.0)
+        jit = EncoderService.from_model(
+            model, params, state, wav_buckets=(2000,), batch=4, max_wait_ms=5.0
+        )
+        try:
+            rng = np.random.default_rng(21)
+            wav = rng.standard_normal(1700).astype(np.float32)
+            a, j = art.encode_speech(wav), jit.encode_speech(wav)
+            assert sorted(a) == sorted(j)
+            for key in a:
+                np.testing.assert_allclose(a[key], j[key], atol=1e-5)
+            img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+            np.testing.assert_allclose(
+                art.encode_image(img), jit.encode_image(img), atol=1e-5
+            )
+            ids = np.zeros((77,), np.int32)
+            ids[0], ids[1], ids[2] = model.sot_id, 5, model.eot_id
+            np.testing.assert_allclose(
+                art.encode_text(ids, 2), jit.encode_text(ids, 2), atol=1e-5
+            )
+        finally:
+            art.close()
+            jit.close()
+
+    def test_from_model_multi_bucket_routing(self, model_and_state):
+        model, params, state = model_and_state
+        svc = EncoderService.from_model(
+            model, params, state, wav_buckets=(2000, 4000), batch=2,
+            max_wait_ms=5.0,
+        )
+        try:
+            assert sorted(svc.batchers) == [
+                "encode_image",
+                "encode_speech@2000",
+                "encode_speech@4000",
+                "encode_text",
+            ]
+            assert svc._route_speech(1500)["wav_samples"] == 2000
+            assert svc._route_speech(3000)["wav_samples"] == 4000
+            out = svc.encode_speech(np.zeros(3000, np.float32))
+            assert np.isfinite(out["parallel_audio_feat"]).all()
+            assert svc.stats()["encode_speech@4000"]["items"] == 1
+        finally:
+            svc.close()
+
+    def test_jit_round_robin_places_params_once_per_device(
+        self, model_and_state
+    ):
+        devs = jax.devices()[:2]
+        model, params, state = model_and_state
+        svc = EncoderService.from_model(
+            model, params, state, wav_buckets=(2000,), batch=2,
+            max_wait_ms=5.0, devices=devs,
+        )
+        try:
+            wav = np.random.default_rng(22).standard_normal(900).astype(
+                np.float32
+            )
+            bucket = svc._route_speech(900)
+            h1 = svc._speech_dispatch([wav], bucket)
+            h2 = svc._speech_dispatch([wav], bucket)
+            d1 = next(iter(list(h1[0].values())[0].devices()))
+            d2 = next(iter(list(h2[0].values())[0].devices()))
+            assert d1 != d2  # round-robin moved devices
+            r1, r2 = svc._finalize_call(h1)[0], svc._finalize_call(h2)[0]
+            np.testing.assert_allclose(
+                r1["parallel_audio_feat"], r2["parallel_audio_feat"], atol=1e-6
+            )
+            encoder = bucket["exported"]
+            assert set(encoder._placed) == set(devs)  # params cached per device
+            svc._speech_batch([wav], bucket)  # third call: no new placement
+            assert set(encoder._placed) == set(devs)
+        finally:
+            svc.close()
+
+    def test_from_checkpoint_serves_restored_weights(self, tmp_path):
+        """Round-trip: train-state checkpoint on disk -> from_checkpoint
+        -> served features equal the checkpointed model's direct math."""
+        import jax.numpy as jnp
+
+        from speechclip_tpu.training.checkpoint import CheckpointManager
+        from speechclip_tpu.training.optim import build_optimizer
+        from speechclip_tpu.training.train_step import create_train_state
+
+        cfg = tiny_speechclip_config(tmp_path)
+        cfg.merge_(
+            {
+                "audio_encoder": {
+                    "optim": {
+                        "name": "Adam",
+                        "args": {"lr": 1e-3, "weight_decay": 1e-6},
+                    },
+                    "scheduler": {
+                        "name": "linear_warmup_decay",
+                        "warmup": 2,
+                        "max_step": 10,
+                        "final_lr": 1e-8,
+                    },
+                },
+            }
+        )
+        model = SpeechCLIPModel(cfg)
+        params_shapes = jax.eval_shape(
+            lambda: model.init(jax.random.key(0))[0]
+        )
+        tx, _ = build_optimizer(cfg, model.trainable_mask(params_shapes))
+        state = create_train_state(model, tx, jax.random.key(42))
+        run_dir = tmp_path / "run"
+        mgr = CheckpointManager(str(run_dir))
+        mgr.save(jax.device_get(state), 1, {"val_loss": 1.0}, cfg)
+        mgr.wait()
+
+        svc = EncoderService.from_checkpoint(
+            str(run_dir / "last"), wav_buckets=(2000,), batch=2,
+            max_wait_ms=5.0,
+        )
+        try:
+            rng = np.random.default_rng(23)
+            wav = rng.standard_normal(1800).astype(np.float32)
+            got = svc.encode_speech(wav)
+            padded = np.zeros((1, 2000), np.float32)
+            padded[0, :1800] = wav
+            want = model.encode_speech(
+                state.params,
+                state.model_state,
+                jnp.asarray(padded),
+                jnp.asarray([1800]),
+            )
+            np.testing.assert_allclose(
+                got["parallel_audio_feat"],
+                np.asarray(want["parallel_audio_feat"])[0],
+                atol=1e-5,
+            )
+        finally:
+            svc.close()
+
+    def test_bf16_dtype_option_moves_features_little(self, model_and_state):
+        model, params, state = model_and_state
+        f32 = EncoderService.from_model(
+            model, params, state, wav_buckets=(2000,), batch=2, max_wait_ms=5.0
+        )
+        b16 = EncoderService.from_model(
+            model, params, state, wav_buckets=(2000,), batch=2,
+            max_wait_ms=5.0, dtype="bf16",
+        )
+        try:
+            wav = np.random.default_rng(24).standard_normal(1500).astype(
+                np.float32
+            )
+            a = f32.encode_speech(wav)["parallel_audio_feat"]
+            b = b16.encode_speech(wav)["parallel_audio_feat"]
+            # bf16 weights move unit-norm features by ~1e-2, not more
+            assert np.linalg.norm(a - b) < 0.1
+            assert not np.array_equal(a, b)  # the cast actually happened
+        finally:
+            f32.close()
+            b16.close()
 
 
 def test_warmup_compiles_every_surface(service):
