@@ -5,7 +5,6 @@
 """
 
 import argparse
-import sys
 
 
 def main():

@@ -7,7 +7,6 @@ Run: python scripts/bench_batch_scaling.py [batch chunk]...
 
 import sys
 import time
-import dataclasses
 
 import numpy as np
 

@@ -11,7 +11,6 @@ NOTE: rbg must be the FIRST variant if included (PRNG impl must be set
 before any key exists), so the script runs it in a subprocess instead.
 """
 
-import json
 import subprocess
 import sys
 import time

@@ -21,8 +21,6 @@ from __future__ import annotations
 
 from typing import Dict, Mapping, Tuple
 
-import numpy as np
-
 import jax.numpy as jnp
 
 from ..config import ConfigNode

@@ -9,7 +9,7 @@ memcpy + int16->f32 scale; resampling only triggers on mismatched rates.
 from __future__ import annotations
 
 import wave
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

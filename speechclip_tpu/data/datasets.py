@@ -29,9 +29,7 @@ import logging
 import os
 import re
 from collections import defaultdict
-from typing import Dict, List, Optional
-
-import numpy as np
+from typing import Dict, List
 
 from .audio import read_wav, wav_num_samples
 from .image import load_image, load_image_raw

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import causal_bias, multi_head_attention
+from ..ops.attention import multi_head_attention
 from ..ops.basic import Params, layer_norm, linear, quick_gelu
 
 

@@ -16,7 +16,6 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..config import ConfigNode
 from . import clip as clip_mod
 from .tokenizer import CLIPTokenizer
 

@@ -15,7 +15,6 @@ Checkpoint sources accepted by --resume/--ckpt:
 from __future__ import annotations
 
 import logging
-import os
 
 import jax
 

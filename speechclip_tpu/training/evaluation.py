@@ -18,7 +18,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from ..ops.retrieval import mutual_retrieval

@@ -1,12 +1,10 @@
 """CLI end-to-end smoke test: run_task.py over a synthetic corpus in a
 subprocess (the reference CLI contract, run_task.py:11-21)."""
 
-import json
 import os
 import subprocess
 import sys
 
-import numpy as np
 import pytest
 import yaml
 

@@ -112,6 +112,7 @@ def test_named_rn_configs():
         assert cfg.text.heads == cfg.text.width // 64
 
 
+@pytest.mark.slow
 def test_init_shapes_roundtrip_with_converter():
     """clip_init's RN tree must match the converted tree leaf-for-leaf
     (checkpoint restore targets are built from init)."""

@@ -13,7 +13,6 @@ from speechclip_tpu.data import (
     BucketedLoader,
     FlickrDataset,
     SpokenCOCODataset,
-    load_image,
     make_buckets,
     read_wav,
     wav_num_samples,

@@ -84,6 +84,7 @@ class TestExport:
             atol=1e-5,
         )
 
+    @pytest.mark.slow
     def test_polymorphic_batch_serves_multiple_sizes(self, model_and_state):
         """One polymorphic artifact must serve several batch sizes and match
         the direct call at each (jax.export shape polymorphism over the

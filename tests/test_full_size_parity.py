@@ -7,7 +7,6 @@ import numpy as np
 import pytest
 import torch
 
-import jax
 import jax.numpy as jnp
 
 from speechclip_tpu.convert import clip_from_hf, hubert_from_hf

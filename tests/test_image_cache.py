@@ -24,6 +24,7 @@ from tests.test_trainer import corpus, tokenizer, trainer_config  # noqa: F401
 
 
 class TestModelCachedImagePath:
+    @pytest.mark.slow
     def test_forward_with_cached_features_matches_images(self, tmp_path):
         """forward() fed image_feat_frozen (= encode_image_tower output)
         must reproduce forward() fed pixels — same loss, same features."""
@@ -70,6 +71,7 @@ class TestModelCachedImagePath:
 
 
 class TestTrainerWithImageCache:
+    @pytest.mark.slow
     def test_fit_trajectory_matches_uncached(
         self, trainer_config, tokenizer, tmp_path  # noqa: F811
     ):

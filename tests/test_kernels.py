@@ -451,6 +451,7 @@ class TestMultichipDispatch:
             np.asarray(got, np.float32), np.asarray(want), atol=0.05, rtol=0.05
         )
 
+    @pytest.mark.slow
     def test_dropout_free_training_uses_fused_path_with_exact_grads(
         self, monkeypatch
     ):

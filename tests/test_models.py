@@ -109,6 +109,7 @@ class TestHubertParity:
             np.asarray(final_ln), out.hidden_states[-1].numpy(), atol=5e-4
         )
 
+    @pytest.mark.slow
     def test_batch_composition_invariance(self):
         """At a fixed bucket length, an utterance's features must not depend
         on what else is in the batch (masks + per-sample GroupNorm make the
@@ -141,6 +142,7 @@ class TestHubertParity:
                 np.asarray(a)[0], np.asarray(b)[0], atol=1e-5
             )
 
+    @pytest.mark.slow
     def test_remat_gradients_identical(self):
         """jax.checkpoint over encoder layers (audio_encoder.remat, the
         fine-tune memory knob) must not change gradients: recompute uses the
@@ -297,6 +299,7 @@ class TestCLIPParity:
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
+    @pytest.mark.slow
     def test_encode_keywords_truncation_exact_gradients(self):
         """The K+2 truncation must match the reference's full 77-token
         buffer in the BACKWARD too (training differentiates through
@@ -521,6 +524,7 @@ class TestSpeechCLIPModel:
         assert float(log_metrics["softmax_temp"]) == pytest.approx(0.1)
         assert float(log_metrics["cl_temp"]) == pytest.approx(0.07, rel=1e-4)
 
+    @pytest.mark.slow
     def test_train_step_gradients(self, model):
         params, state = model.init(jax.random.key(0))
         batch = self.make_batch()

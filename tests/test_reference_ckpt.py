@@ -11,7 +11,6 @@ import numpy as np
 import pytest
 import torch
 
-import jax
 import jax.numpy as jnp
 
 from speechclip_tpu.config import ConfigNode

@@ -53,6 +53,7 @@ def _build_state(model):
     return tx
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_learns(setup):
     _, model = setup
     params, _ = model.init(jax.random.key(0))
@@ -73,6 +74,7 @@ def test_train_step_runs_and_learns(setup):
     )
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(setup):
     """The core DP correctness property: batch sharded over 8 devices must
     produce the same loss and updated params as unsharded execution (global-
@@ -100,6 +102,7 @@ def test_sharded_step_matches_single_device(setup):
     np.testing.assert_allclose(w1, w2, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_mesh_compiles(setup):
     """2-D mesh (data x model): tower FFN weights shard over "model"."""
     _, model = setup
@@ -131,6 +134,7 @@ def test_eval_step(setup):
     assert out["keywords"].shape[1] == 4
 
 
+@pytest.mark.slow
 def test_gradient_accumulation(setup):
     """trainer.accumulate_grad_batches=2 (optax.MultiSteps): params move only
     every second step and match a single large-batch-equivalent update
@@ -157,6 +161,7 @@ def test_gradient_accumulation(setup):
     assert np.abs(w2 - w1).sum() > 0  # update applied on the second
 
 
+@pytest.mark.slow
 def test_scheduled_vq_temp_follows_optimizer_updates(setup):
     """With accumulate_grad_batches=k the optimizer advances once per k
     micro-batches (optax.MultiSteps) — the VQ's scheduled temperature must
@@ -190,6 +195,7 @@ def test_scheduled_vq_temp_follows_optimizer_updates(setup):
     np.testing.assert_allclose(temps, want, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_grad_norm_excludes_frozen_towers(setup):
     """The loss differentiates THROUGH the frozen CLIP text tower (cascaded
     keywords feed it), so without stop_gradient on frozen leaves the raw

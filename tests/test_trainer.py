@@ -4,12 +4,10 @@ checkpoint -> resume, on the 8-device CPU mesh."""
 import gzip
 import os
 
-import numpy as np
 import pytest
 
 import jax
 
-from speechclip_tpu.config import ConfigNode
 from speechclip_tpu.models.tokenizer import CLIPTokenizer
 from speechclip_tpu.training.trainer import Trainer
 from tests.test_data import write_jpg, write_wav
@@ -185,6 +183,7 @@ class TestEvalSplitSelection:
 
 
 class TestTrainerEndToEnd:
+    @pytest.mark.slow
     def test_fit_validate_checkpoint_resume(self, trainer_config, tokenizer, monkeypatch):
         # the tiny CLIP tower takes 32x32 images
         from speechclip_tpu.data import datasets as ds_mod

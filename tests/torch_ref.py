@@ -8,7 +8,6 @@ Torch here is the CPU oracle, never a runtime dependency of the framework.
 
 from __future__ import annotations
 
-import numpy as np
 import torch
 import torch.nn.functional as F
 from torch import nn
