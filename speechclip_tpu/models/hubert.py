@@ -261,22 +261,42 @@ def _conv_chain(
 
 def pos_conv_apply(params: Params, cfg: HubertConfig, x: jnp.ndarray) -> jnp.ndarray:
     """Grouped conv positional embedding with SamePad trim + GELU
-    (reference custom extract_features :35-37)."""
-    d = cfg.encoder_embed_dim
-    pad = cfg.pos_conv_kernel // 2
-    y = jax.lax.conv_general_dilated(
-        x,
-        params["w"].astype(x.dtype),
-        window_strides=(1,),
-        padding=[(pad, pad)],
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=cfg.pos_conv_groups,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
-    y = y + params["b"].astype(x.dtype)
-    if cfg.pos_conv_kernel % 2 == 0:  # SamePad removes the trailing step
-        y = y[:, :-1, :]
-    return gelu(y)
+    (reference custom extract_features :35-37).
+
+    Under a data-parallel mesh the grouped conv dispatches through an
+    explicit shard_map over the data axis: XLA's SPMD partitioner cannot
+    batch-partition a ``feature_group_count`` conv, so without this it
+    ALL-GATHERS the full (B, T, D) hidden states and runs the conv
+    replicated on every chip (observed in the lowered HLO,
+    tests/test_scaling_hlo.py — ~250 MB/step of gather + 8x redundant
+    compute at production dims on data=8). The conv is batch-pointwise,
+    so the per-shard mapping is exact."""
+
+    def core(x, w, b):
+        pad = cfg.pos_conv_kernel // 2
+        y = jax.lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=cfg.pos_conv_groups,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        y = y + b.astype(x.dtype)
+        if cfg.pos_conv_kernel % 2 == 0:  # SamePad removes the trailing step
+            y = y[:, :-1, :]
+        return gelu(y)
+
+    from ..kernels._dispatch import data_shard_map, mesh_plan
+    from ..ops.attention import get_kernel_mesh
+
+    plan = mesh_plan(get_kernel_mesh(), x.shape[0], lambda b: True)
+    if plan is not None and plan != "single":
+        return data_shard_map(core, plan, n_arrays=3, n_sharded=1)(
+            x, params["w"], params["b"]
+        )
+    return core(x, params["w"], params["b"])
 
 
 # ffn_block on/off for the fused layer path (scripts/bench_ffn_block.py

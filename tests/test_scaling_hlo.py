@@ -1,0 +1,158 @@
+"""HLO-level pins for the SCALING.md cost model (VERDICT r3 next #6).
+
+docs/SCALING.md claims the SPMD partitioner inserts ONE feature
+all-gather for the global-batch contrastive logits and reduces gradients
+over the data axis. These tests compile the REAL sharded train step on
+the virtual 8-device mesh and assert those collectives in the lowered
+HLO, so a regression in sharding propagation (e.g. an accidental
+full-activation replication) fails a test instead of a pod-slice bill.
+
+The pos_conv gate is not hypothetical: XLA cannot batch-partition a
+feature_group_count conv, so the grouped positional conv USED to lower
+as `all-gather f32[B,T,D]` + replicated conv on every chip (~250 MB/step
+of gather at production dims on data=8). models/hubert.py pos_conv_apply
+now dispatches through an explicit shard_map over the data axis; the
+rank-3 gather must stay gone.
+
+Reference contract being replaced: the torch-DP gather in
+avssl/model/kwClip.py:147-191 (training_step_end loss on the full batch).
+"""
+
+import re
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speechclip_tpu.config import flagship_tiny_config
+from speechclip_tpu.models.speechclip import SpeechCLIPModel
+from speechclip_tpu.ops.attention import kernel_mesh
+from speechclip_tpu.parallel import make_mesh
+from speechclip_tpu.training import (
+    build_optimizer,
+    create_train_state,
+    jit_train_step,
+    make_train_step,
+    place_state,
+    shard_batch,
+)
+
+GLOBAL_BATCH = 16
+FEAT_DIM = 16  # flagship_tiny_config output_dim
+
+
+def _make_batch(b=GLOBAL_BATCH):
+    rng = np.random.default_rng(0)
+    return {
+        "wav": jnp.asarray(rng.standard_normal((b, 2000)).astype(np.float32)),
+        "wav_len": jnp.asarray(rng.integers(1000, 2001, b)),
+        "image": jnp.asarray(
+            rng.standard_normal((b, 32, 32, 3)).astype(np.float32)
+        ),
+        "id": jnp.asarray(np.arange(b) // 2),
+    }
+
+
+@pytest.fixture(scope="module")
+def compiled_hlo():
+    cfg = flagship_tiny_config()
+    cfg.trainer.precision = 32
+    model = SpeechCLIPModel(cfg)
+    params, _ = model.init(jax.random.key(0))
+    tx, _ = build_optimizer(cfg, model.trainable_mask(params))
+    step = jit_train_step(make_train_step(model, tx), donate=False)
+    mesh = make_mesh(devices=jax.devices()[:8], data=8, model=1)
+    state = place_state(create_train_state(model, tx, jax.random.key(0)), mesh)
+    batch = shard_batch(_make_batch(), mesh)
+    with kernel_mesh(mesh):  # the trainer's fit/validate scope
+        txt = step.lower(state, batch).compile().as_text()
+    return txt
+
+
+def _all_gather_shapes(txt):
+    """[(dtype, dims tuple)] for every all-gather result in the module."""
+    shapes = []
+    for line in txt.splitlines():
+        if " all-gather(" not in line and "all-gather-start(" not in line:
+            continue
+        m = re.search(r"= (?:\()?([a-z0-9]+)\[([0-9,]*)\]", line)
+        if m:
+            dims = tuple(int(d) for d in m.group(2).split(",") if d)
+            shapes.append((m.group(1), dims))
+    return shapes
+
+
+def test_contrastive_feature_all_gather_present(compiled_hlo):
+    """The global-batch negatives ride ONE (N, feat) gather per feature
+    (SCALING.md: ~1 MB at N=1024 — negligible next to the forward)."""
+    feature_gathers = [
+        s
+        for dt, s in _all_gather_shapes(compiled_hlo)
+        if dt == "f32" and s == (GLOBAL_BATCH, FEAT_DIM)
+    ]
+    assert feature_gathers, (
+        "no (N, feat) all-gather found — the contrastive loss is no longer "
+        "computing global-batch negatives"
+    )
+
+
+def test_no_full_activation_all_gather(compiled_hlo):
+    """No rank-3 float activation (B, T, D) may be gathered: that is the
+    replicated-pos-conv failure mode (and would also catch an accidental
+    full-hidden-state replication anywhere else in the step)."""
+    rank3 = [
+        (dt, s)
+        for dt, s in _all_gather_shapes(compiled_hlo)
+        if dt.startswith(("f", "bf")) and len(s) >= 3
+    ]
+    assert not rank3, (
+        f"full activation tensors are being all-gathered: {rank3} — "
+        "sharding propagation regressed (see pos_conv_apply's shard_map "
+        "dispatch note)"
+    )
+
+
+def test_gradient_reduction_present(compiled_hlo):
+    """Trainable-param grads must reduce over the data axis (all-reduce or
+    reduce-scatter; XLA chooses the spelling)."""
+    n_reduce = sum(
+        1
+        for line in compiled_hlo.splitlines()
+        if " all-reduce(" in line
+        or "all-reduce-start(" in line
+        or " reduce-scatter(" in line
+    )
+    assert n_reduce >= 1, "no gradient reduction collective in the step"
+
+
+@pytest.mark.slow  # second full compile of the sharded step
+def test_pos_conv_shard_map_is_numerically_exact():
+    """The shard_map'd pos_conv must not change the step's math: same
+    loss/grad-norm with and without the mesh-scoped dispatch."""
+    cfg = flagship_tiny_config()
+    cfg.trainer.precision = 32
+    model = SpeechCLIPModel(cfg)
+    params, _ = model.init(jax.random.key(0))
+    tx, _ = build_optimizer(cfg, model.trainable_mask(params))
+    step = jit_train_step(make_train_step(model, tx), donate=False)
+    mesh = make_mesh(devices=jax.devices()[:8], data=8, model=1)
+    batch = _make_batch()
+
+    def run(scoped):
+        state = place_state(
+            create_train_state(model, tx, jax.random.key(0)), mesh
+        )
+        sharded = shard_batch(batch, mesh)
+        if scoped:
+            with kernel_mesh(mesh):
+                _, metrics = step(state, sharded)
+        else:
+            _, metrics = step(state, sharded)
+        return float(metrics["train_loss"]), float(metrics["grad_norm"])
+
+    loss_a, gnorm_a = run(scoped=False)
+    loss_b, gnorm_b = run(scoped=True)
+    np.testing.assert_allclose(loss_b, loss_a, rtol=1e-6)
+    np.testing.assert_allclose(gnorm_b, gnorm_a, rtol=1e-5)
