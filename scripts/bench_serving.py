@@ -41,6 +41,8 @@ N_DEVICES = None
 BACKEND = "artifact"
 DIMS = "tiny"
 DTYPE = None
+COMPACT_WAV = False
+MAX_WAIT_MS = 8.0
 args = []
 _argv = iter(sys.argv[1:])
 for a in _argv:
@@ -64,10 +66,17 @@ for a in _argv:
         DTYPE = next(_argv)
     elif a.startswith("--dtype="):
         DTYPE = a.split("=", 1)[1]
+    elif a == "--compact-wav":
+        COMPACT_WAV = True
+    elif a.startswith("--max-wait-ms="):
+        MAX_WAIT_MS = float(a.split("=", 1)[1])
+    elif a == "--max-wait-ms":
+        MAX_WAIT_MS = float(next(_argv))
     elif a.startswith("--"):
         raise SystemExit(
             f"unknown flag {a!r} "
-            "(valid: --platform, --devices, --backend, --dims, --dtype)"
+            "(valid: --platform, --devices, --backend, --dims, --dtype, "
+            "--compact-wav, --max-wait-ms)"
         )
     else:
         args.append(a)
@@ -111,7 +120,8 @@ def build_service(jax):
         return (
             EncoderService.from_model(
                 model, params, state, wav_buckets=buckets, batch=BATCH,
-                dtype=DTYPE, max_wait_ms=8.0, devices=devices,
+                dtype=DTYPE, compact_wav=COMPACT_WAV, max_wait_ms=MAX_WAIT_MS,
+                devices=devices,
             ),
             buckets,
         )
@@ -125,7 +135,8 @@ def build_service(jax):
         return (
             EncoderService.from_model(
                 model, params, state, wav_buckets=(WAV_SAMPLES,), batch=BATCH,
-                dtype=DTYPE, max_wait_ms=8.0, devices=devices,
+                dtype=DTYPE, compact_wav=COMPACT_WAV, max_wait_ms=MAX_WAIT_MS,
+                devices=devices,
             ),
             (WAV_SAMPLES,),
         )
@@ -139,7 +150,7 @@ def build_service(jax):
     with open(os.path.join(art_dir, "encode_speech.stablehlo"), "wb") as f:
         f.write(blob)
     return (
-        EncoderService(art_dir, max_wait_ms=8.0, devices=devices),
+        EncoderService(art_dir, max_wait_ms=MAX_WAIT_MS, devices=devices),
         (WAV_SAMPLES,),
     )
 

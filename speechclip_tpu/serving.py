@@ -38,10 +38,18 @@ Runtime surface:
                         (reduced-vocab ids for reduced-vocab exports)
   POST /gallery/add     body: image payload (as /encode_image); ?id=name
                         optional -> encodes into the retrieval gallery
+  POST /gallery/save    ?path= optional (defaults to --gallery) ->
+                        persist the gallery as one .npz (ids + features)
+  POST /gallery/load    ?path= optional -> replace the gallery from a
+                        saved .npz (trimmed to --gallery-max newest rows)
   POST /retrieve        body: .npy wav; ?k=5&feat=parallel|cascaded ->
                         top-k gallery images by cosine (the reference's
                         mutualRetrieval as an online service)
-  GET  /healthz         endpoint + batching stats
+  GET  /healthz         endpoint + batching stats + gallery size
+
+The gallery is memory-bounded via --gallery-max (FIFO eviction of the
+oldest entries) and restart-safe via --gallery (load at startup, save on
+clean shutdown).
 
 Responses are JSON ``{"features": {name: nested_list}}``. Each HTTP
 request is one item in the micro-batch; issue concurrent requests to fill
@@ -287,6 +295,7 @@ class EncoderService:
         max_wait_ms: float = 5.0,
         devices: Optional[Sequence] = None,
         pipeline_depth: int = 2,
+        gallery_max: Optional[int] = None,
         _encoders: Optional[List] = None,
     ):
         import itertools
@@ -348,6 +357,9 @@ class EncoderService:
                 "exported": exported,
                 "wav_samples": int(wav_aval.shape[1]),
                 "fixed_batch": _static_dim(wav_aval.shape[0]),
+                # compact_wav buckets take int16 PCM on device (rescaled
+                # in-graph); everything else f32
+                "wav_dtype": np.dtype(wav_aval.dtype),
             }
             if bucket["wav_samples"] in seen_lengths:
                 # e.g. a legacy encode_speech.stablehlo next to a re-exported
@@ -407,11 +419,18 @@ class EncoderService:
                 pipeline_depth=pipeline_depth,
             )
 
-        # online retrieval gallery (image features, L2-normalized)
+        # online retrieval gallery (image features, L2-normalized);
+        # bounded by gallery_max (FIFO eviction) and persistable via
+        # gallery_save/gallery_load
         self._gallery_lock = threading.Lock()
         self._gallery_ids: List[str] = []
         self._gallery_feats: List[np.ndarray] = []
         self._gallery_matrix: Optional[np.ndarray] = None
+        self._gallery_max = int(gallery_max) if gallery_max else None
+        self._gallery_seq = 0  # monotonic auto-id, survives eviction
+        # default artifact path for /gallery/save and /gallery/load
+        # without ?path= (the CLI's --gallery flag sets it)
+        self.gallery_path: Optional[str] = None
 
     # ----------------------------------------------------- jit backend
     @classmethod
@@ -423,6 +442,7 @@ class EncoderService:
         wav_buckets: Sequence[int] = (102400,),
         batch: int = 8,
         dtype=None,
+        compact_wav: bool = False,
         **kw,
     ):
         """Serve an in-memory model directly: the three encoder surfaces
@@ -430,11 +450,18 @@ class EncoderService:
         same micro-batching/bucket-routing/warmup machinery as the
         artifact backend.
 
-        ``wav_buckets`` — one fixed wav length per serving bucket (the
-        export CLI's ``--wav-samples`` contract); ``batch`` — the fixed
-        device batch each bucket pads to (one XLA compile per bucket);
-        ``dtype`` — optional float-weight cast ("bf16" halves param bytes;
-        the shipped precision-16 configs compute in bf16 anyway).
+        ``wav_buckets`` — one wav length per serving bucket (the export
+        CLI's ``--wav-samples`` contract). ``batch`` — the micro-batch
+        CAP; unlike a fixed-batch artifact, the jit backend pads coalesced
+        batches to the next power of two (jit compiles one graph per pow2
+        size, all covered by warmup), so a lone request pays batch-1
+        transfer+compute instead of a full fixed batch. ``dtype`` —
+        optional float-weight cast ("bf16" halves param bytes; the shipped
+        precision-16 configs compute in bf16 anyway). ``compact_wav`` —
+        ship wav to the device as int16 PCM and rescale by 1/32768
+        in-graph (the loader's compact_wav convention, data/loader.py:
+        half the request + H2D bytes; exact for int16-origin payloads,
+        ±1/65536 quantization for float payloads).
         """
         import jax
         import jax.numpy as jnp
@@ -446,8 +473,12 @@ class EncoderService:
             params = cast_float_params(params, dtype)
         state = state or {}
         batch = int(batch)
+        kw.setdefault("max_batch", batch)
+        wav_dtype = jnp.int16 if compact_wav else jnp.float32
 
         def speech_fn(params, state, wav, wav_len):
+            if wav.dtype == jnp.int16:
+                wav = wav.astype(jnp.float32) * (1.0 / 32768.0)
             out = model.encode_speech(params, state, wav, wav_len)
             # same surface as export_encode_speech (export.py): arrays
             # only, vq diagnostics dropped
@@ -458,6 +489,15 @@ class EncoderService:
                 if k != "vq_results"
             }
 
+        class _PolyAval:
+            """Aval with a symbolic (None) batch dim: the service treats
+            the bucket like a polymorphic artifact (_pad_rows pads to the
+            next power of two; jit compiles per size)."""
+
+            def __init__(self, shape, dtype):
+                self.shape = shape
+                self.dtype = dtype
+
         encoders = []
         for n in sorted({int(b) for b in wav_buckets}):
             encoders.append(
@@ -467,8 +507,8 @@ class EncoderService:
                         speech_fn,
                         (params, state),
                         [
-                            jax.ShapeDtypeStruct((batch, n), jnp.float32),
-                            jax.ShapeDtypeStruct((batch,), jnp.int32),
+                            _PolyAval((None, n), wav_dtype),
+                            _PolyAval((None,), jnp.int32),
                         ],
                     ),
                 )
@@ -480,7 +520,7 @@ class EncoderService:
                 _JitEncoder(
                     lambda params, images: model.forward_image(params, images),
                     (params,),
-                    [jax.ShapeDtypeStruct((batch, size, size, 3), jnp.float32)],
+                    [_PolyAval((None, size, size, 3), jnp.float32)],
                 ),
             )
         )
@@ -494,8 +534,8 @@ class EncoderService:
                     ),
                     (params,),
                     [
-                        jax.ShapeDtypeStruct((batch, ctx), jnp.int32),
-                        jax.ShapeDtypeStruct((batch,), jnp.int32),
+                        _PolyAval((None, ctx), jnp.int32),
+                        _PolyAval((None,), jnp.int32),
                     ],
                 ),
             )
@@ -610,10 +650,21 @@ class EncoderService:
     ):
         n = len(wavs)
         s = bucket["wav_samples"]
-        wav_arr = np.zeros((n, s), np.float32)
+        dt = bucket.get("wav_dtype", np.dtype(np.float32))
+        wav_arr = np.zeros((n, s), dt)
         wav_len = np.empty((n,), np.int32)
         for i, w in enumerate(wavs):
-            w = np.asarray(w, np.float32).reshape(-1)[:s]  # crop overlong
+            if dt == np.int16:
+                # int16-on-device bucket (compact_wav): exact round-trip
+                # for int16-origin payloads (round(x/32768*32768) == x)
+                w = np.clip(
+                    np.round(np.asarray(w, np.float32) * 32768.0),
+                    -32768,
+                    32767,
+                ).astype(np.int16)
+            else:
+                w = np.asarray(w, np.float32)
+            w = w.reshape(-1)[:s]  # crop overlong
             wav_arr[i, : len(w)] = w
             wav_len[i] = len(w)
         wav_arr, wav_len = self._pad_rows(
@@ -765,21 +816,81 @@ class EncoderService:
     # mutualRetrieval, retrieval.py:45-121, run at validation time); the
     # service exposes it online: a gallery of encoded image features and
     # cosine top-k for speech queries.
+    #
+    # Lifecycle: the gallery lives in process memory, persists via
+    # gallery_save/gallery_load (one .npz of ids + the L2-normalized
+    # feature matrix — restart-safe), and is bounded by ``gallery_max``:
+    # adding past the bound evicts the OLDEST entry (FIFO — the documented
+    # size policy; pick ids you can re-add if you need pinning), and
+    # gallery_load keeps only the newest ``gallery_max`` rows.
     def gallery_add(self, image, image_id: Optional[str] = None) -> str:
         """Encode an image payload into the gallery; returns its id."""
         feat = np.asarray(self.encode_image(image), np.float32)
         feat = feat / max(float(np.linalg.norm(feat)), 1e-12)
         with self._gallery_lock:
             if image_id is None:
-                image_id = str(len(self._gallery_ids))
+                image_id = str(self._gallery_seq)
+            self._gallery_seq += 1
             self._gallery_ids.append(str(image_id))
             self._gallery_feats.append(feat)
+            if (
+                self._gallery_max is not None
+                and len(self._gallery_ids) > self._gallery_max
+            ):
+                # FIFO eviction keeps the service memory-bounded under an
+                # endless stream of adds
+                drop = len(self._gallery_ids) - self._gallery_max
+                del self._gallery_ids[:drop]
+                del self._gallery_feats[:drop]
             self._gallery_matrix = None  # rebuilt lazily on next retrieve
         return str(image_id)
 
     def gallery_size(self) -> int:
         with self._gallery_lock:
             return len(self._gallery_ids)
+
+    def gallery_save(self, path: str) -> int:
+        """Persist the gallery (ids + L2-normalized features) as one .npz;
+        returns the number of rows written. Atomic: writes ``path.part``
+        then renames, so a crash mid-save never corrupts the artifact."""
+        import os
+
+        with self._gallery_lock:
+            ids = np.asarray(self._gallery_ids, dtype=np.str_)
+            feats = (
+                np.stack(self._gallery_feats)
+                if self._gallery_feats
+                else np.zeros((0, 0), np.float32)
+            )
+            seq = self._gallery_seq
+        tmp = path + ".part"
+        with open(tmp, "wb") as f:
+            np.savez(f, ids=ids, feats=feats, seq=np.int64(seq))
+        os.replace(tmp, path)
+        return len(ids)
+
+    def gallery_load(self, path: str) -> int:
+        """Replace the gallery with a gallery_save artifact; returns the
+        number of rows now live (trimmed to ``gallery_max`` newest-first
+        when a bound is set)."""
+        with np.load(path, allow_pickle=False) as data:
+            ids = [str(s) for s in data["ids"]]
+            feats = np.asarray(data["feats"], np.float32)
+            seq = int(data["seq"]) if "seq" in data else len(ids)
+        if feats.shape[0] != len(ids):
+            raise ValueError(
+                f"corrupt gallery artifact: {len(ids)} ids vs "
+                f"{feats.shape[0]} feature rows"
+            )
+        if self._gallery_max is not None and len(ids) > self._gallery_max:
+            ids = ids[-self._gallery_max:]
+            feats = feats[-self._gallery_max:]
+        with self._gallery_lock:
+            self._gallery_ids = ids
+            self._gallery_feats = [feats[i] for i in range(len(ids))]
+            self._gallery_seq = max(seq, len(ids))
+            self._gallery_matrix = None
+        return len(ids)
 
     def retrieve(
         self, wav: np.ndarray, k: int = 5, feat: str = "parallel"
@@ -897,6 +1008,7 @@ def make_http_server(service: EncoderService, host: str = "0.0.0.0", port: int =
                         "status": "ok",
                         "endpoints": sorted(service.batchers),
                         "stats": service.stats(),
+                        "gallery_size": service.gallery_size(),
                     },
                 )
             else:
@@ -913,6 +1025,30 @@ def make_http_server(service: EncoderService, host: str = "0.0.0.0", port: int =
                         200,
                         {"features": {k: v.tolist() for k, v in feats.items()}},
                     )
+                elif self.path.startswith("/gallery/save"):
+                    from urllib.parse import parse_qs, urlparse
+
+                    qs = parse_qs(urlparse(self.path).query)
+                    path = qs.get("path", [service.gallery_path])[0]
+                    if not path:
+                        raise ValueError(
+                            "no ?path= and the service was started without "
+                            "--gallery"
+                        )
+                    n = service.gallery_save(path)
+                    self._reply(200, {"saved": n, "path": path})
+                elif self.path.startswith("/gallery/load"):
+                    from urllib.parse import parse_qs, urlparse
+
+                    qs = parse_qs(urlparse(self.path).query)
+                    path = qs.get("path", [service.gallery_path])[0]
+                    if not path:
+                        raise ValueError(
+                            "no ?path= and the service was started without "
+                            "--gallery"
+                        )
+                    n = service.gallery_load(path)
+                    self._reply(200, {"loaded": n, "path": path})
                 elif self.path.startswith("/gallery/add"):
                     from urllib.parse import parse_qs, urlparse
 
@@ -992,6 +1128,20 @@ def main():
         choices=["bf16"],
         help="(--ckpt only) cast float weights before serving",
     )
+    parser.add_argument(
+        "--gallery",
+        default=None,
+        help="gallery .npz artifact: loaded at startup when present, "
+        "saved on clean shutdown, and the default path for the "
+        "/gallery/save and /gallery/load endpoints",
+    )
+    parser.add_argument(
+        "--gallery-max",
+        type=int,
+        default=None,
+        help="bound the in-memory retrieval gallery: adds past the bound "
+        "evict the OLDEST entries (FIFO)",
+    )
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8787)
     parser.add_argument("--max-batch", type=int, default=None)
@@ -1036,6 +1186,7 @@ def main():
             max_batch=args.max_batch,
             max_wait_ms=args.max_wait_ms,
             devices=devices,
+            gallery_max=args.gallery_max,
         )
     else:
         service = EncoderService(
@@ -1043,7 +1194,15 @@ def main():
             max_batch=args.max_batch,
             max_wait_ms=args.max_wait_ms,
             devices=devices,
+            gallery_max=args.gallery_max,
         )
+    if args.gallery:
+        import os
+
+        service.gallery_path = args.gallery
+        if os.path.exists(args.gallery):
+            n = service.gallery_load(args.gallery)
+            print(f"gallery: loaded {n} entries from {args.gallery}", flush=True)
     if args.warmup:
         print("warming up (compiling artifacts)...", flush=True)
         service.warmup()
@@ -1055,6 +1214,9 @@ def main():
     except KeyboardInterrupt:
         pass
     finally:
+        if args.gallery and service.gallery_size():
+            n = service.gallery_save(args.gallery)
+            print(f"gallery: saved {n} entries to {args.gallery}", flush=True)
         service.close()
 
 

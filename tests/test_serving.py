@@ -54,7 +54,16 @@ def _write_artifacts(model, params, state, out_dir, polymorphic):
 
 
 @pytest.fixture(
-    scope="module", params=["fixed", "poly", "jit"], ids=["fixed", "poly", "jit"]
+    scope="module",
+    params=[
+        "fixed",
+        # poly artifacts re-trace per pow2 batch size — the priciest
+        # fixture; full-suite only (the fast tier keeps one artifact
+        # backend and the jit backend)
+        pytest.param("poly", marks=pytest.mark.slow),
+        "jit",
+    ],
+    ids=["fixed", "poly", "jit"],
 )
 def service(request, model_and_state, tmp_path_factory):
     """Every service-level test runs against BOTH backends: the AOT
@@ -284,6 +293,7 @@ class TestServiceGuards:
             svc.close()
 
 
+@pytest.mark.slow  # artifact re-export per bucket/device
 class TestMultiBucketServing:
     def test_requests_route_to_wav_length_buckets(
         self, model_and_state, tmp_path
@@ -334,6 +344,7 @@ class TestMultiBucketServing:
             svc.close()
 
 
+@pytest.mark.slow  # artifact re-export per bucket/device
 class TestMultiDeviceServing:
     def test_round_robin_dispatch_across_devices(
         self, model_and_state, tmp_path
@@ -487,6 +498,126 @@ class TestHTTPServer:
         body = json.loads(resp.read())
         conn.close()
         assert resp.status == 400 and "error" in body
+
+
+class TestGalleryLifecycle:
+    """Persistence + size bound for the retrieval gallery (restart-safe
+    serving: save/load one .npz of ids + L2-normalized features; FIFO
+    eviction at gallery_max)."""
+
+    def _service(self, model_and_state, **kw):
+        model, params, state = model_and_state
+        return EncoderService.from_model(
+            model, params, state, wav_buckets=(2000,), batch=4,
+            max_wait_ms=5.0, **kw,
+        )
+
+    def test_save_load_roundtrip_preserves_retrieval(
+        self, model_and_state, tmp_path
+    ):
+        svc = self._service(model_and_state)
+        rng = np.random.default_rng(31)
+        wav = rng.standard_normal(1500).astype(np.float32)
+        try:
+            for i in range(3):
+                svc.gallery_add(
+                    rng.integers(0, 256, (40, 40, 3), dtype=np.uint8),
+                    f"g{i}",
+                )
+            before = svc.retrieve(wav, k=3)
+            path = str(tmp_path / "gallery.npz")
+            assert svc.gallery_save(path) == 3
+        finally:
+            svc.close()
+
+        svc2 = self._service(model_and_state)
+        try:
+            assert svc2.gallery_size() == 0
+            assert svc2.gallery_load(path) == 3
+            after = svc2.retrieve(wav, k=3)
+            assert [h["id"] for h in after] == [h["id"] for h in before]
+            np.testing.assert_allclose(
+                [h["score"] for h in after],
+                [h["score"] for h in before],
+                atol=1e-6,
+            )
+        finally:
+            svc2.close()
+
+    def test_gallery_max_evicts_oldest_fifo(self, model_and_state):
+        svc = self._service(model_and_state, gallery_max=2)
+        rng = np.random.default_rng(32)
+        try:
+            for i in range(4):
+                svc.gallery_add(
+                    rng.integers(0, 256, (40, 40, 3), dtype=np.uint8),
+                    f"g{i}",
+                )
+            assert svc.gallery_size() == 2
+            with svc._gallery_lock:
+                assert svc._gallery_ids == ["g2", "g3"]  # oldest evicted
+            # auto-ids stay monotonic across eviction (no id reuse)
+            auto = svc.gallery_add(
+                rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+            )
+            assert auto == "4"
+        finally:
+            svc.close()
+
+    def test_load_trims_to_gallery_max(self, model_and_state, tmp_path):
+        svc = self._service(model_and_state)
+        rng = np.random.default_rng(33)
+        path = str(tmp_path / "g.npz")
+        try:
+            for i in range(4):
+                svc.gallery_add(
+                    rng.integers(0, 256, (40, 40, 3), dtype=np.uint8),
+                    f"g{i}",
+                )
+            svc.gallery_save(path)
+        finally:
+            svc.close()
+        svc2 = self._service(model_and_state, gallery_max=2)
+        try:
+            assert svc2.gallery_load(path) == 2  # newest two kept
+            with svc2._gallery_lock:
+                assert svc2._gallery_ids == ["g2", "g3"]
+        finally:
+            svc2.close()
+
+    def test_http_save_load_endpoints(self, model_and_state, tmp_path):
+        svc = self._service(model_and_state)
+        server = make_http_server(svc, host="127.0.0.1", port=0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        addr = server.server_address
+        try:
+            img = np.random.default_rng(34).integers(
+                0, 256, (40, 40, 3), dtype=np.uint8
+            )
+            buf = io.BytesIO()
+            np.save(buf, img)
+            conn = http.client.HTTPConnection(*addr, timeout=30)
+            conn.request("POST", "/gallery/add?id=a", body=buf.getvalue())
+            assert conn.getresponse().status == 200
+            path = str(tmp_path / "http_gallery.npz")
+            conn.request("POST", f"/gallery/save?path={path}")
+            resp = json.loads(conn.getresponse().read())
+            assert resp == {"saved": 1, "path": path}
+            # no default path configured and no ?path= -> clean 400
+            conn.request("POST", "/gallery/save")
+            r = conn.getresponse()
+            assert r.status == 400 and b"--gallery" in r.read()
+            conn.request("POST", f"/gallery/load?path={path}")
+            resp = json.loads(conn.getresponse().read())
+            assert resp == {"loaded": 1, "path": path}
+            conn.request("GET", "/healthz")
+            health = json.loads(conn.getresponse().read())
+            assert health["gallery_size"] == 1
+            conn.close()
+        finally:
+            server.shutdown()
+            svc.close()
 
 
 class TestJitBackend:
