@@ -14,6 +14,9 @@ those paths are caught round-over-round (VERDICT r1 weak #4):
   hubert_large_utt_per_sec   — HuBERT-large parallel encode at batch 256
   train_step_ms_b256         — full train step (fwd+bwd+Adam, both branches,
                                frozen towers) at batch 256
+  train_step_ms_large_*_b128 — HuBERT-large + ViT-L/14 train step (the
+                               reference's 4-GPU configs), single live
+                               branch, at the largest single-chip batch
 
 Extras methodology (VERDICT r2 weak #1/#2): each number is AMORTIZED — an
 in-graph ``lax.fori_loop`` runs AMORTIZE_ITERS step bodies per dispatch
@@ -136,21 +139,17 @@ def encode_variant(variant):
     from speechclip_tpu.models.speechclip import SpeechCLIPModel
     from speechclip_tpu.ops.basic import l2_normalize
 
-    cfg = _flagship_config()
-    cfg.audio_encoder.conv_batch_chunk = 256
+    from speechclip_tpu.config import flagship_large_config
+
     if variant == "base_casc":
+        cfg = _flagship_config()
         cfg.model_settings.parallel_objective_weight = 0.0
     elif variant == "large_par":
+        cfg = flagship_large_config()
         cfg.model_settings.cascaded_objective_weight = 0.0
-        cfg.audio_encoder.name = "hubert_large_ll60k"
-        cfg.audio_encoder.normalize_hiddenstates = True
-        cfg.audio_encoder.normalize_type = "s3prl"
-        cfg.clip.name = "ViT-L/14"
-        for b in ("parallel_branch", "cascaded_branch"):
-            cfg.model_settings[b].transformer_args.d_model = 1024
-            cfg.model_settings[b].transformer_args.dim_feedforward = 4096
     else:
         raise ValueError(variant)
+    cfg.audio_encoder.conv_batch_chunk = 256
 
     model = SpeechCLIPModel(cfg)
     params, state = model.init(jax.random.key(0))
@@ -180,23 +179,28 @@ def encode_variant(variant):
     return EXTRA_BATCH / med, [EXTRA_BATCH / minmax[1], EXTRA_BATCH / minmax[0]]
 
 
-def train_step_ms(cache_images=False):
-    """(ms, [min, max] ms) full training-step latency at batch 256,
-    amortized: an in-graph fori_loop chains AMORTIZE_ITERS real train steps
-    (state threads through the carry; wav is perturbed by the carry so the
-    bodies cannot be hoisted) — the methodology the round-2 VERDICT
-    prescribed so the driver-visible number matches
-    scripts/bench_train_budget.py instead of eating the relay's per-dispatch
-    latency on every step.
+def train_step_ms(cache_images=False, variant="base", batch=None):
+    """(ms, [min, max] ms) full training-step latency, amortized: an
+    in-graph fori_loop chains AMORTIZE_ITERS real train steps (state
+    threads through the carry; wav is perturbed by the carry so the bodies
+    cannot be hoisted) — the methodology the round-2 VERDICT prescribed so
+    the driver-visible number matches scripts/bench_train_budget.py
+    instead of eating the relay's per-dispatch latency on every step.
 
     cache_images=True measures the trainer.cache_image_features operating
     point: the frozen ViT features ride in the batch and only the trainable
     path runs per step (docs/DESIGN_NOTES.md "Per-fit image-feature
-    cache")."""
+    cache").
+
+    variant: "base" (both branches, batch 256 — the shipped base operating
+    point) or "large_par"/"large_casc" (HuBERT-large + ViT-L/14 single
+    live branch, the reference's 4-GPU configs — here per-chip at the
+    largest single-chip batch, scripts/bench_train_budget.py probes)."""
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_config
+    from speechclip_tpu.config import flagship_large_config
     from speechclip_tpu.models.speechclip import SpeechCLIPModel
     from speechclip_tpu.training import (
         build_optimizer,
@@ -204,17 +208,29 @@ def train_step_ms(cache_images=False):
         make_train_step,
     )
 
-    cfg = _flagship_config()
+    if variant == "base":
+        cfg = _flagship_config()
+    else:
+        cfg = flagship_large_config()
+        if variant == "large_par":
+            cfg.model_settings.cascaded_objective_weight = 0.0
+        elif variant == "large_casc":
+            cfg.model_settings.parallel_objective_weight = 0.0
+        else:
+            raise ValueError(variant)
+    batch = EXTRA_BATCH if batch is None else batch
+    if variant != "base":
+        cfg.audio_encoder.conv_batch_chunk = min(batch, 256)
     model = SpeechCLIPModel(cfg)
     rng = np.random.default_rng(0)
-    wav, wav_len = _make_wavs(rng, EXTRA_BATCH)
+    wav, wav_len = _make_wavs(rng, batch)
     batch_data = {
         "wav": wav,
         "wav_len": wav_len,
         "image": jnp.asarray(
-            rng.standard_normal((EXTRA_BATCH, 224, 224, 3)).astype(np.float32)
+            rng.standard_normal((batch, 224, 224, 3)).astype(np.float32)
         ),
-        "id": jnp.asarray(np.arange(EXTRA_BATCH) % (EXTRA_BATCH // 5)),
+        "id": jnp.asarray(np.arange(batch) % (batch // 5)),
     }
     params, _ = model.init(jax.random.key(0))
     tx, _ = build_optimizer(cfg, model.trainable_mask(params))
@@ -329,6 +345,17 @@ def main():
             (
                 "train_step_ms_b256_imgcache",
                 lambda: train_step_ms(cache_images=True),
+            ),
+            # the large half of the shipped surface (reference 4-GPU
+            # configs) — largest single-chip batch (b256 OOMs, probed
+            # round 4; scripts/bench_train_budget.py --variant large_*)
+            (
+                "train_step_ms_large_par_b128",
+                lambda: train_step_ms(variant="large_par", batch=128),
+            ),
+            (
+                "train_step_ms_large_casc_b128",
+                lambda: train_step_ms(variant="large_casc", batch=128),
             ),
         ]:
             try:

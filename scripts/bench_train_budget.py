@@ -13,8 +13,15 @@ stages to find where the ~470 ms at batch 256 goes:
 Amortized fori_loop methodology per stage (docs/DESIGN_NOTES.md); each
 stage is one remote compile — pass a subset to keep compiles short.
 
-Run: python scripts/bench_train_budget.py [STAGES [BATCH [ITERS]]]
+Run: python scripts/bench_train_budget.py [--variant V] [--remat]
+        [STAGES [BATCH [ITERS]]]
 STAGES = comma list of audio,image,forward,loss,grad,step (default all)
+VARIANT = base (both branches, the default) | base_par | base_casc |
+          large | large_par | large_casc — large = HuBERT-large +
+          ViT-L/14 at the shipped large-config dims
+          (speechclip_tpu.config.flagship_large_config)
+--remat   = rematerialize HuBERT encoder layers in the backward
+          (audio_encoder.remat — trades FLOPs for activation memory)
 """
 
 import sys
@@ -24,12 +31,46 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+VARIANT = "base"
+REMAT = False
+args = []
+_argv = iter(sys.argv[1:])
+for a in _argv:
+    if a.startswith("--variant="):
+        VARIANT = a.split("=", 1)[1]
+    elif a == "--variant":
+        VARIANT = next(_argv)
+    elif a == "--remat":
+        REMAT = True
+    elif a.startswith("--"):
+        raise SystemExit(f"unknown flag {a!r} (valid: --variant, --remat)")
+    else:
+        args.append(a)
 STAGES = (
-    sys.argv[1] if len(sys.argv) > 1 else "audio,image,forward,loss,grad,step"
+    args[0] if len(args) > 0 else "audio,image,forward,loss,grad,step"
 ).split(",")
-BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-ITERS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+BATCH = int(args[1]) if len(args) > 1 else 256
+ITERS = int(args[2]) if len(args) > 2 else 4
 WAV_LEN = 102400
+
+
+def variant_config(variant):
+    """The bench variant's model config (branch gating by suffix)."""
+    from __graft_entry__ import _flagship_config
+    from speechclip_tpu.config import flagship_large_config
+
+    base = variant.split("_")[0]
+    if base == "base":
+        cfg = _flagship_config()
+    elif base == "large":
+        cfg = flagship_large_config()
+    else:
+        raise SystemExit(f"unknown variant {variant!r}")
+    if variant.endswith("_par"):
+        cfg.model_settings.cascaded_objective_weight = 0.0
+    elif variant.endswith("_casc"):
+        cfg.model_settings.parallel_objective_weight = 0.0
+    return cfg
 
 
 def main():
@@ -42,7 +83,6 @@ def main():
         # production operating point: shipped configs set trainer.fast_rng
         jax.config.update("jax_default_prng_impl", "rbg")
 
-    from __graft_entry__ import _flagship_config
     from speechclip_tpu.models.speechclip import SpeechCLIPModel
     from speechclip_tpu.training import (
         build_optimizer,
@@ -50,8 +90,11 @@ def main():
         make_train_step,
     )
 
-    cfg = _flagship_config()
+    cfg = variant_config(VARIANT)
     cfg.audio_encoder.conv_batch_chunk = min(BATCH, 256)
+    if REMAT:
+        cfg.audio_encoder.remat = True
+    print(f"variant {VARIANT} b{BATCH} remat={REMAT}", flush=True)
     model = SpeechCLIPModel(cfg)
 
     rng = np.random.default_rng(0)

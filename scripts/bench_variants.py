@@ -9,7 +9,7 @@ Timings are single-shot (NOT the CLAUDE.md fori_loop amortization): at
 bias, acceptable for variant-level comparisons; do not use this script for
 sub-100 ms measurements.
 
-Run: python scripts/bench_variants.py {base_par|base_casc|large_par} BATCH
+Run: python scripts/bench_variants.py {base_par|base_casc|large_par|large_casc} BATCH
 """
 
 import sys
@@ -33,19 +33,17 @@ def main():
     from speechclip_tpu.models.speechclip import SpeechCLIPModel
     from speechclip_tpu.ops.basic import l2_normalize
 
-    cfg = _flagship_config()
+    from speechclip_tpu.config import flagship_large_config
+
+    if VARIANT.startswith("large"):
+        cfg = flagship_large_config()
+    else:
+        cfg = _flagship_config()
     cfg.audio_encoder.conv_batch_chunk = 256
-    if VARIANT == "base_par":
+    if VARIANT in ("base_par", "large_par"):
         cfg.model_settings.cascaded_objective_weight = 0.0
-    elif VARIANT == "base_casc":
+    elif VARIANT in ("base_casc", "large_casc"):
         cfg.model_settings.parallel_objective_weight = 0.0
-    elif VARIANT == "large_par":
-        cfg.model_settings.cascaded_objective_weight = 0.0
-        cfg.audio_encoder.name = "hubert_large_ll60k"
-        cfg.clip.name = "ViT-L/14"
-        for b in ("parallel_branch", "cascaded_branch"):
-            cfg.model_settings[b].transformer_args.d_model = 1024
-            cfg.model_settings[b].transformer_args.dim_feedforward = 4096
     else:
         raise SystemExit(f"unknown variant {VARIANT}")
 

@@ -279,6 +279,27 @@ def flagship_config() -> ConfigNode:
     )
 
 
+def flagship_large_config() -> ConfigNode:
+    """The large preset: HuBERT-large (ll60k) + CLIP ViT-L/14, both
+    branches, random init — the dims of the reference's 4-GPU configs
+    (config/speechCLIP/model_large/*; README.md:34). The base→large diffs
+    mirror the shipped YAML diffs exactly (SURVEY.md §5): d_model 768→1024,
+    ffn 3072→4096, ViT-B/32→ViT-L/14, hubert→hubert_large_ll60k,
+    temperature_trainable false→true, normalize_hiddenstates false→true.
+    Used by the large bench paths (bench.py extras,
+    scripts/bench_train_budget.py, scripts/bench_variants.py)."""
+    cfg = flagship_config()
+    cfg.audio_encoder.name = "hubert_large_ll60k"
+    cfg.audio_encoder.normalize_hiddenstates = True
+    cfg.audio_encoder.normalize_type = "s3prl"
+    cfg.clip.name = "ViT-L/14"
+    cfg.cl_loss.args.temperature_trainable = True
+    for b in ("parallel_branch", "cascaded_branch"):
+        cfg.model_settings[b].transformer_args.d_model = 1024
+        cfg.model_settings[b].transformer_args.dim_feedforward = 4096
+    return cfg
+
+
 def flagship_tiny_config() -> ConfigNode:
     """``flagship_config()`` shrunk to tiny tower dims with the SAME
     topology (both branches, kw-BN, VQ, weighted sum, reduced-vocab-free).

@@ -2,6 +2,7 @@
 detokenization hit-rate (reference kwClip.py:271-502 contracts)."""
 
 import numpy as np
+import pytest
 
 from speechclip_tpu.training.evaluation import (
     collect_validation_outputs,
@@ -80,3 +81,48 @@ class TestRetrievalEpoch:
             retrieve_method="pseudo_inverse",
         )
         assert hit_rate.tolist() == [100.0, 100.0]
+
+
+@pytest.mark.slow
+class TestSpokenCOCOScale:
+    """SpokenCOCO-test-scale dress rehearsal (reference kwClip.py:487-491
+    runs the full ~25k x ~5k score matrix on GPU): dedupe + device top-k
+    recall must stay EXACT at scale — identical hit counts to a numpy
+    replica of the reference's argsort-and-walk semantics
+    (retrieval.py:45-121). scripts/eval_scale_rehearsal.py is the
+    wall-time/memory version of this on real hardware."""
+
+    def test_25k_by_5k_recall_matches_argsort_reference(self):
+        n_audio, n_images, dim = 25000, 5000, 512
+        rng = np.random.default_rng(0)
+        img = rng.standard_normal((n_images, dim)).astype(np.float32)
+        img /= np.linalg.norm(img, axis=1, keepdims=True)
+        ids = np.repeat(np.arange(n_images, dtype=np.int32), 5)
+        audio = img[ids] + 0.9 * rng.standard_normal(
+            (n_audio, dim)
+        ).astype(np.float32)
+        audio /= np.linalg.norm(audio, axis=1, keepdims=True)
+        collected = {
+            "id": ids,
+            "audio_feat": audio,
+            "image_feat": img[ids],
+        }
+        recall_at = (1, 5, 10)
+        recall_ab, recall_ba, _ = retrieval_metrics(collected, recall_at)
+
+        scores = audio @ img.T  # ids are already 0..n_images-1 in order
+        order = np.argsort(-scores, axis=1)
+        for k in recall_at:
+            want = float(
+                (order[:, :k] == ids[:, None]).any(axis=1).mean() * 100.0
+            )
+            assert abs(recall_ab[f"recall@{k}"] - want) < 50.0 / n_audio
+        order_t = np.argsort(-scores.T, axis=1)
+        gold_audio_ids = ids  # candidate ids per audio row
+        for k in recall_at:
+            ranked = gold_audio_ids[order_t[:, :k]]
+            want = float(
+                (ranked == np.arange(n_images)[:, None]).any(axis=1).mean()
+                * 100.0
+            )
+            assert abs(recall_ba[f"recall@{k}"] - want) < 50.0 / n_images
