@@ -123,3 +123,31 @@ class TestServingRecipe:
         serve_flags = {"--artifacts", "--port", "--warmup"}
         used = set(re.findall(r"(--[a-z-]+)", text))
         assert export_flags | serve_flags >= used, used - (export_flags | serve_flags)
+
+    def test_serve_from_ckpt_wiring(self):
+        """The jit-backend recipe must use only flags the serving CLI
+        accepts (no export step — from_checkpoint serves directly)."""
+        recipe = REPO / "egs/serving/serve_from_ckpt.sh"
+        text = recipe.read_text()
+        assert "speechclip_tpu.serving" in text
+        assert "speechclip_tpu.export" not in text  # the point of the recipe
+        assert "--ckpt" in text
+        serve_flags = {
+            "--ckpt",
+            "--wav-samples",
+            "--batch",
+            "--dtype",
+            "--max-wait-ms",
+            "--warmup",
+            "--port",
+            "--gallery",
+        }
+        used = set(re.findall(r"(--[a-z-]+)", text))
+        assert serve_flags >= used, used - serve_flags
+        # every flag the recipe passes must exist in the CLI parser
+        import speechclip_tpu.serving as serving_mod
+        import inspect
+
+        cli_src = inspect.getsource(serving_mod.main)
+        for flag in used:
+            assert f'"{flag}"' in cli_src, flag
