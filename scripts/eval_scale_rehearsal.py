@@ -99,13 +99,17 @@ def main():
     t0 = time.perf_counter()
     recall_ab, recall_ba, recall_mean = retrieval_metrics(collected, RECALL_AT)
     t_metrics = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    retrieval_metrics(collected, RECALL_AT)  # warm: compile amortized away
+    t_warm = time.perf_counter() - t0
 
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     score_mb = N_AUDIO * N_IMAGES * 4 / 1e6
     print(f"collect (host concat): {t_collect:.2f} s")
     print(
         f"epoch-end metrics (dedupe + device matmul + top-k + fetch): "
-        f"{t_metrics:.2f} s"
+        f"{t_metrics:.2f} s cold (incl. one-time XLA compile) / "
+        f"{t_warm:.2f} s warm"
     )
     print(f"peak host RSS: {rss_gb:.2f} GB; device score matrix: {score_mb:.0f} MB")
     print(f"A->I {recall_ab}")

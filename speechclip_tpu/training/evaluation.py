@@ -53,9 +53,19 @@ def retrieval_metrics(
     logger.info(
         "Total #%d images, #%d audio", len(img_feats), len(audio_feats)
     )
-    score_per_audio = jnp.asarray(audio_feats, jnp.float32) @ jnp.asarray(
-        img_feats, jnp.float32
-    ).T
+    # HIGHEST precision: the TPU's default matmul runs reduced-precision
+    # passes, which flips top-k order for near-tie queries (measured at
+    # 25k x 5k: 2/25000 top-1 flips vs f32 argsort — scripts/
+    # eval_scale_rehearsal.py). The reference computes scores in full f32
+    # (kwClip.py:487-491); a metric must match it, and the matmul is a
+    # trivial ~64 GFLOP once per epoch.
+    import jax
+
+    score_per_audio = jnp.matmul(
+        jnp.asarray(audio_feats, jnp.float32),
+        jnp.asarray(img_feats, jnp.float32).T,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     recall_ab, recall_ba, recall_mean = mutual_retrieval(
         score_per_audio,
         score_per_audio.T,
