@@ -13,6 +13,6 @@ CKPT=${1:?usage: serve_from_ckpt.sh <ckpt_dir_or_reference.ckpt> [port]}
 PORT=${2:-8787}
 
 exec python3 -m speechclip_tpu.serving --ckpt "$CKPT" \
-    --wav-samples 51200 102400 --batch 64 --dtype bf16 \
+    --wav-samples 51200 102400 --batch 64 --dtype bf16 --compact-wav \
     --max-wait-ms 60 --warmup --port "$PORT" \
     --gallery "exp_gallery_$(basename "$CKPT").npz"

@@ -13,35 +13,12 @@ Run: python scripts/weak_scaling_table.py [PER_DEVICE_BATCH]
 """
 
 import os
-import re
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 PER_DEVICE_BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-
-DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "pred": 1}
-
-
-def collective_inventory(txt):
-    out = {}
-    for line in txt.splitlines():
-        for op in ("all-gather", "all-reduce", "reduce-scatter"):
-            if f" {op}(" not in line and f"{op}-start(" not in line:
-                continue
-            m = re.search(r"= (?:\()?([a-z0-9]+)\[([0-9,]*)\]", line)
-            if not m:
-                continue
-            dt, dims = m.group(1), m.group(2)
-            n = 1
-            for d in dims.split(","):
-                if d:
-                    n *= int(d)
-            cnt, byt = out.get(op, (0, 0))
-            out[op] = (cnt + 1, byt + n * DTYPE_BYTES.get(dt, 4))
-            break
-    return out
 
 
 def main():
@@ -58,6 +35,10 @@ def main():
     from speechclip_tpu.config import flagship_tiny_config
     from speechclip_tpu.models.speechclip import SpeechCLIPModel
     from speechclip_tpu.ops.attention import kernel_mesh
+    from speechclip_tpu.parallel.hlo_inspect import (
+        collective_bytes,
+        collective_results,
+    )
     from speechclip_tpu.parallel import make_mesh
     from speechclip_tpu.training import (
         build_optimizer,
@@ -101,12 +82,13 @@ def main():
         with kernel_mesh(mesh):
             compiled = step.lower(state, sharded).compile()
             txt = compiled.as_text()
-            inv = collective_inventory(txt)
+            inv = collective_bytes(txt)
             rank3 = sum(
                 1
-                for line in txt.splitlines()
-                if " all-gather(" in line
-                and re.search(r"= (?:\()?(?:f|bf)[0-9]+\[[0-9]+,[0-9]+,[0-9]+", line)
+                for op, dt, dims in collective_results(txt)
+                if op == "all-gather"
+                and dt.startswith(("f", "bf"))
+                and len(dims) >= 3
             )
             state, metrics = step(state, sharded)  # warm
             times = []

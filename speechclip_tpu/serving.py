@@ -38,10 +38,12 @@ Runtime surface:
                         (reduced-vocab ids for reduced-vocab exports)
   POST /gallery/add     body: image payload (as /encode_image); ?id=name
                         optional -> encodes into the retrieval gallery
-  POST /gallery/save    ?path= optional (defaults to --gallery) ->
-                        persist the gallery as one .npz (ids + features)
-  POST /gallery/load    ?path= optional -> replace the gallery from a
-                        saved .npz (trimmed to --gallery-max newest rows)
+  POST /gallery/save    ?path= optional (defaults to --gallery; confined
+                        to --gallery's directory) -> persist the gallery
+                        as one .npz (ids + features)
+  POST /gallery/load    ?path= optional (same confinement) -> replace the
+                        gallery from a saved .npz (trimmed to
+                        --gallery-max newest rows)
   POST /retrieve        body: .npy wav; ?k=5&feat=parallel|cascaded ->
                         top-k gallery images by cosine (the reference's
                         mutualRetrieval as an online service)
@@ -473,12 +475,16 @@ class EncoderService:
             params = cast_float_params(params, dtype)
         state = state or {}
         batch = int(batch)
-        kw.setdefault("max_batch", batch)
+        # `batch` is the cap unless the caller set an explicit max_batch;
+        # the CLI always passes max_batch (None when the flag is omitted),
+        # so a plain setdefault would silently ignore --batch
+        if kw.get("max_batch") is None:
+            kw["max_batch"] = batch
         wav_dtype = jnp.int16 if compact_wav else jnp.float32
 
         def speech_fn(params, state, wav, wav_len):
-            if wav.dtype == jnp.int16:
-                wav = wav.astype(jnp.float32) * (1.0 / 32768.0)
+            # int16 wav passes straight through: forward_audio owns the
+            # compact-wav rescale contract (models/speechclip.py:391-396)
             out = model.encode_speech(params, state, wav, wav_len)
             # same surface as export_encode_speech (export.py): arrays
             # only, vq diagnostics dropped
@@ -549,6 +555,7 @@ class EncoderService:
         wav_buckets: Sequence[int] = (102400,),
         batch: int = 8,
         dtype=None,
+        compact_wav: bool = False,
         **kw,
     ):
         """Restore a training checkpoint (orbax run dir, or a reference
@@ -586,6 +593,7 @@ class EncoderService:
             wav_buckets=wav_buckets,
             batch=batch,
             dtype=dtype,
+            compact_wav=compact_wav,
             **kw,
         )
 
@@ -1000,6 +1008,36 @@ def make_http_server(service: EncoderService, host: str = "0.0.0.0", port: int =
             self.end_headers()
             self.wfile.write(body)
 
+        def _gallery_target(self, qs):
+            """Resolve the save/load target. ?path= is confined to the
+            --gallery directory: these endpoints write/read the server's
+            filesystem on behalf of unauthenticated HTTP clients, so an
+            unconfined path would be remote arbitrary-file write/probe."""
+            import os
+
+            requested = qs.get("path", [None])[0]
+            default = service.gallery_path
+            if requested is None:
+                if not default:
+                    raise ValueError(
+                        "no ?path= and the service was started without "
+                        "--gallery"
+                    )
+                return default
+            if not default:
+                raise ValueError(
+                    "?path= requires --gallery (it pins the one directory "
+                    "reachable over HTTP)"
+                )
+            base = os.path.dirname(os.path.abspath(default)) or "."
+            target = os.path.abspath(requested)
+            if os.path.dirname(target) != base:
+                raise ValueError(
+                    f"?path= must stay inside the --gallery directory "
+                    f"{base}"
+                )
+            return target
+
         def do_GET(self):
             if self.path.startswith("/healthz"):
                 self._reply(
@@ -1029,24 +1067,14 @@ def make_http_server(service: EncoderService, host: str = "0.0.0.0", port: int =
                     from urllib.parse import parse_qs, urlparse
 
                     qs = parse_qs(urlparse(self.path).query)
-                    path = qs.get("path", [service.gallery_path])[0]
-                    if not path:
-                        raise ValueError(
-                            "no ?path= and the service was started without "
-                            "--gallery"
-                        )
+                    path = self._gallery_target(qs)
                     n = service.gallery_save(path)
                     self._reply(200, {"saved": n, "path": path})
                 elif self.path.startswith("/gallery/load"):
                     from urllib.parse import parse_qs, urlparse
 
                     qs = parse_qs(urlparse(self.path).query)
-                    path = qs.get("path", [service.gallery_path])[0]
-                    if not path:
-                        raise ValueError(
-                            "no ?path= and the service was started without "
-                            "--gallery"
-                        )
+                    path = self._gallery_target(qs)
                     n = service.gallery_load(path)
                     self._reply(200, {"loaded": n, "path": path})
                 elif self.path.startswith("/gallery/add"):
@@ -1129,6 +1157,13 @@ def main():
         help="(--ckpt only) cast float weights before serving",
     )
     parser.add_argument(
+        "--compact-wav",
+        action="store_true",
+        help="(--ckpt only) ship wav to the device as int16 PCM, rescaled "
+        "1/32768 in-graph — half the H2D bytes (part of the measured "
+        "production operating point, docs/DESIGN_NOTES.md)",
+    )
+    parser.add_argument(
         "--gallery",
         default=None,
         help="gallery .npz artifact: loaded at startup when present, "
@@ -1183,6 +1218,7 @@ def main():
             wav_buckets=args.wav_samples,
             batch=args.batch,
             dtype=args.dtype,
+            compact_wav=args.compact_wav,
             max_batch=args.max_batch,
             max_wait_ms=args.max_wait_ms,
             devices=devices,

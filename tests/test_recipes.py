@@ -137,6 +137,7 @@ class TestServingRecipe:
             "--wav-samples",
             "--batch",
             "--dtype",
+            "--compact-wav",
             "--max-wait-ms",
             "--warmup",
             "--port",

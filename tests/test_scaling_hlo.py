@@ -18,8 +18,6 @@ Reference contract being replaced: the torch-DP gather in
 avssl/model/kwClip.py:147-191 (training_step_end loss on the full batch).
 """
 
-import re
-
 import numpy as np
 import pytest
 
@@ -29,6 +27,7 @@ import jax.numpy as jnp
 from speechclip_tpu.config import flagship_tiny_config
 from speechclip_tpu.models.speechclip import SpeechCLIPModel
 from speechclip_tpu.ops.attention import kernel_mesh
+from speechclip_tpu.parallel.hlo_inspect import collective_results
 from speechclip_tpu.parallel import make_mesh
 from speechclip_tpu.training import (
     build_optimizer,
@@ -72,16 +71,14 @@ def compiled_hlo():
 
 
 def _all_gather_shapes(txt):
-    """[(dtype, dims tuple)] for every all-gather result in the module."""
-    shapes = []
-    for line in txt.splitlines():
-        if " all-gather(" not in line and "all-gather-start(" not in line:
-            continue
-        m = re.search(r"= (?:\()?([a-z0-9]+)\[([0-9,]*)\]", line)
-        if m:
-            dims = tuple(int(d) for d in m.group(2).split(",") if d)
-            shapes.append((m.group(1), dims))
-    return shapes
+    """[(dtype, dims tuple)] for every all-gather result in the module
+    (shared parser: speechclip_tpu/parallel/hlo_inspect.py — handles the
+    async -start tuple form, whose first shape is the operand)."""
+    return [
+        (dt, dims)
+        for op, dt, dims in collective_results(txt)
+        if op == "all-gather"
+    ]
 
 
 def test_contrastive_feature_all_gather_present(compiled_hlo):
@@ -130,29 +127,45 @@ def test_gradient_reduction_present(compiled_hlo):
 @pytest.mark.slow  # second full compile of the sharded step
 def test_pos_conv_shard_map_is_numerically_exact():
     """The shard_map'd pos_conv must not change the step's math: same
-    loss/grad-norm with and without the mesh-scoped dispatch."""
+    loss/grad-norm with and without the mesh-scoped dispatch.
+
+    A FRESH jitted step is built inside each run: get_kernel_mesh() is
+    read at TRACE time, so re-calling one jit object under the scope
+    would silently reuse the unscoped executable (jit caches on
+    avals/shardings only) and compare a program with itself."""
     cfg = flagship_tiny_config()
     cfg.trainer.precision = 32
     model = SpeechCLIPModel(cfg)
     params, _ = model.init(jax.random.key(0))
     tx, _ = build_optimizer(cfg, model.trainable_mask(params))
-    step = jit_train_step(make_train_step(model, tx), donate=False)
     mesh = make_mesh(devices=jax.devices()[:8], data=8, model=1)
     batch = _make_batch()
 
     def run(scoped):
+        step = jit_train_step(make_train_step(model, tx), donate=False)
         state = place_state(
             create_train_state(model, tx, jax.random.key(0)), mesh
         )
         sharded = shard_batch(batch, mesh)
-        if scoped:
-            with kernel_mesh(mesh):
-                _, metrics = step(state, sharded)
-        else:
+        with kernel_mesh(mesh if scoped else None):
+            txt = step.lower(state, sharded).compile().as_text()
             _, metrics = step(state, sharded)
-        return float(metrics["train_loss"]), float(metrics["grad_norm"])
+        rank3_gathers = sum(
+            1
+            for op, dt, dims in collective_results(txt)
+            if op == "all-gather" and dt == "f32" and len(dims) >= 3
+        )
+        return (
+            float(metrics["train_loss"]),
+            float(metrics["grad_norm"]),
+            rank3_gathers,
+        )
 
-    loss_a, gnorm_a = run(scoped=False)
-    loss_b, gnorm_b = run(scoped=True)
+    loss_a, gnorm_a, rank3_unscoped = run(scoped=False)
+    loss_b, gnorm_b, rank3_scoped = run(scoped=True)
+    # the two programs genuinely differ: unscoped replicates the grouped
+    # pos_conv (rank-3 gather), scoped shard_maps it away
+    assert rank3_unscoped >= 1, "expected the replicated-pos-conv gather"
+    assert rank3_scoped == 0, "shard_map dispatch did not engage"
     np.testing.assert_allclose(loss_b, loss_a, rtol=1e-6)
     np.testing.assert_allclose(gnorm_b, gnorm_a, rtol=1e-5)

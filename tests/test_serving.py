@@ -587,6 +587,7 @@ class TestGalleryLifecycle:
 
     def test_http_save_load_endpoints(self, model_and_state, tmp_path):
         svc = self._service(model_and_state)
+        svc.gallery_path = str(tmp_path / "default_gallery.npz")
         server = make_http_server(svc, host="127.0.0.1", port=0)
         thread = threading.Thread(target=server.serve_forever, daemon=True)
         thread.start()
@@ -600,20 +601,56 @@ class TestGalleryLifecycle:
             conn = http.client.HTTPConnection(*addr, timeout=30)
             conn.request("POST", "/gallery/add?id=a", body=buf.getvalue())
             assert conn.getresponse().status == 200
+            # ?path= inside the --gallery directory: allowed
             path = str(tmp_path / "http_gallery.npz")
             conn.request("POST", f"/gallery/save?path={path}")
             resp = json.loads(conn.getresponse().read())
             assert resp == {"saved": 1, "path": path}
-            # no default path configured and no ?path= -> clean 400
+            # no ?path= -> the configured --gallery default
             conn.request("POST", "/gallery/save")
-            r = conn.getresponse()
-            assert r.status == 400 and b"--gallery" in r.read()
+            resp = json.loads(conn.getresponse().read())
+            assert resp["path"] == svc.gallery_path
             conn.request("POST", f"/gallery/load?path={path}")
             resp = json.loads(conn.getresponse().read())
             assert resp == {"loaded": 1, "path": path}
             conn.request("GET", "/healthz")
             health = json.loads(conn.getresponse().read())
             assert health["gallery_size"] == 1
+            conn.close()
+        finally:
+            server.shutdown()
+            svc.close()
+
+    def test_http_gallery_path_is_confined(self, model_and_state, tmp_path):
+        """The save/load endpoints write the server's filesystem for
+        unauthenticated clients: ?path= must be confined to --gallery's
+        directory, and rejected entirely when --gallery is unset."""
+        svc = self._service(model_and_state)
+        server = make_http_server(svc, host="127.0.0.1", port=0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        addr = server.server_address
+        try:
+            conn = http.client.HTTPConnection(*addr, timeout=30)
+            # no --gallery configured: both no-path and explicit-path 400
+            conn.request("POST", "/gallery/save")
+            r = conn.getresponse()
+            assert r.status == 400 and b"--gallery" in r.read()
+            outside = str(tmp_path / "x.npz")
+            conn.request("POST", f"/gallery/save?path={outside}")
+            r = conn.getresponse()
+            assert r.status == 400 and b"--gallery" in r.read()
+            # --gallery set: escapes out of its directory are rejected
+            svc.gallery_path = str(tmp_path / "g.npz")
+            for bad in (
+                "/tmp/evil.npz",
+                str(tmp_path / "sub" / "evil.npz"),
+                str(tmp_path / ".." / "evil.npz"),
+            ):
+                conn.request("POST", f"/gallery/save?path={bad}")
+                r = conn.getresponse()
+                body = r.read()
+                assert r.status == 400 and b"directory" in body, (bad, body)
             conn.close()
         finally:
             server.shutdown()
@@ -767,6 +804,60 @@ class TestJitBackend:
             )
         finally:
             svc.close()
+
+    def test_batch_arg_caps_the_micro_batchers(self, model_and_state):
+        """`batch` must reach the MicroBatcher caps (regression: the CLI
+        passes max_batch=None explicitly, which once defeated the
+        setdefault and silently capped every batcher at 8)."""
+        model, params, state = model_and_state
+        svc = EncoderService.from_model(
+            model, params, state, wav_buckets=(2000,), batch=16,
+            max_wait_ms=5.0, max_batch=None,
+        )
+        try:
+            for name, b in svc.batchers.items():
+                assert b.max_batch == 16, (name, b.max_batch)
+        finally:
+            svc.close()
+        # an explicit max_batch still wins over `batch`
+        svc2 = EncoderService.from_model(
+            model, params, state, wav_buckets=(2000,), batch=16,
+            max_wait_ms=5.0, max_batch=4,
+        )
+        try:
+            assert svc2.batchers["encode_speech"].max_batch == 4
+        finally:
+            svc2.close()
+
+    def test_compact_wav_int16_on_device_matches_f32(self, model_and_state):
+        """compact_wav=True ships int16 to the device (the measured v2/v3
+        serving operating point): features must equal the f32 service's
+        for int16-origin payloads (exact round-trip)."""
+        model, params, state = model_and_state
+        f32 = EncoderService.from_model(
+            model, params, state, wav_buckets=(2000,), batch=2,
+            max_wait_ms=5.0,
+        )
+        i16 = EncoderService.from_model(
+            model, params, state, wav_buckets=(2000,), batch=2,
+            max_wait_ms=5.0, compact_wav=True,
+        )
+        try:
+            bucket = i16._route_speech(1000)
+            assert bucket["wav_dtype"] == np.int16  # really int16 on device
+            rng = np.random.default_rng(25)
+            pcm = rng.integers(-30000, 30000, 1500, dtype=np.int16)
+            a = f32.encode_speech(pcm)["parallel_audio_feat"]
+            b = i16.encode_speech(pcm)["parallel_audio_feat"]
+            np.testing.assert_allclose(a, b, atol=1e-6)
+            # float payloads quantize to the int16 grid: close, not exact
+            wav = rng.standard_normal(1500).astype(np.float32) * 0.1
+            af = f32.encode_speech(wav)["parallel_audio_feat"]
+            bf = i16.encode_speech(wav)["parallel_audio_feat"]
+            assert np.linalg.norm(af - bf) < 1e-2
+        finally:
+            f32.close()
+            i16.close()
 
     def test_bf16_dtype_option_moves_features_little(self, model_and_state):
         model, params, state = model_and_state
