@@ -273,6 +273,75 @@ def train_step_ms(cache_images=False, variant="base", batch=None):
     return med * 1e3, [minmax[0] * 1e3, minmax[1] * 1e3]
 
 
+def serving_throughput(batch=32, n_req=256, concurrency=64):
+    """(utt/s, [min, max]) end-to-end through the serving runtime: the jit
+    backend (EncoderService.from_model) at flagship dims with a fixed
+    device batch (ONE compile), bf16 weights, int16 wav on the wire, 60 ms
+    coalescing — the production operating point of docs/SERVING.md. On the
+    axon relay this is H2D-bandwidth-bound, not compute-bound
+    (docs/DESIGN_NOTES.md "Production-dims serving"); it is driver-visible
+    so serving-stack regressions show round-over-round."""
+    import threading
+
+    import jax
+
+    from __graft_entry__ import _flagship_config
+    from speechclip_tpu.models.speechclip import SpeechCLIPModel
+    from speechclip_tpu.serving import EncoderService
+
+    cfg = _flagship_config()
+    cfg.audio_encoder.conv_batch_chunk = min(batch, 256)
+    model = SpeechCLIPModel(cfg)
+    params, state = model.init(jax.random.key(0))
+    svc = EncoderService.from_model(
+        model,
+        params,
+        state,
+        wav_buckets=(WAV_LEN,),
+        batch=batch,
+        dtype="bf16",
+        compact_wav=True,
+        fixed_batch=True,
+        max_wait_ms=60.0,
+    )
+    try:
+        svc.warmup()
+        rng = np.random.default_rng(0)
+        wavs = [
+            rng.standard_normal(n).astype(np.float32)
+            for n in np.linspace(WAV_LEN // 2, WAV_LEN, 8).astype(int)
+        ]
+
+        def run_once():
+            remaining = [n_req]
+            lock = threading.Lock()
+            done = threading.Semaphore(0)
+
+            def client():
+                while True:
+                    with lock:
+                        if remaining[0] == 0:
+                            break
+                        i = remaining[0] = remaining[0] - 1
+                    svc.encode_speech(wavs[i % len(wavs)])
+                done.release()
+
+            t0 = time.perf_counter()
+            threads = [
+                threading.Thread(target=client) for _ in range(concurrency)
+            ]
+            for t in threads:
+                t.start()
+            for _ in threads:
+                done.acquire()
+            return n_req / (time.perf_counter() - t0)
+
+        vals = [run_once() for _ in range(3)]
+        return float(np.median(vals)), [float(min(vals)), float(max(vals))]
+    finally:
+        svc.close()
+
+
 def main():
     # fail FAST with a parseable line if the TPU tunnel is unreachable:
     # jax.devices() HANGS (no exception) during axon outages (observed
@@ -357,6 +426,9 @@ def main():
                 "train_step_ms_large_casc_b128",
                 lambda: train_step_ms(variant="large_casc", batch=128),
             ),
+            # end-to-end serving runtime (micro-batcher + jit backend) —
+            # relay-H2D-bound on this machine, still a regression canary
+            ("serving_utt_per_sec_b32", serving_throughput),
         ]:
             try:
                 value, minmax = fn()

@@ -11,8 +11,14 @@ trainer/bucketing/kernels/checkpoint/eval machinery on hardware, not
 retrieval quality). Expect the contrastive loss to fall from ~ln(B) toward
 the id-masked floor within tens of steps.
 
-Run: python scripts/e2e_tpu_train.py [NSTEPS [BATCH]]   (~30-60 min, mostly
-remote compiles)
+Run: python scripts/e2e_tpu_train.py [--large] [NSTEPS [BATCH]]
+(~30-60 min, mostly remote compiles)
+
+--large swaps in the reference's 4-GPU dims (HuBERT-large + ViT-L/14,
+d_model 1024, normalize_hiddenstates, trainable temperature) so the FULL
+trainer — bucketing, image cache, checkpointing, eval — is validated on
+hardware at large dims, not just the bare train step
+(scripts/bench_train_budget.py --variant large_*).
 """
 
 import json
@@ -29,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # scripts/bench_eval_loop.py, which has its own argv)
 NSTEPS = 12
 BATCH = 32
+LARGE = False
 N_IMAGES = 96
 SR = 16000
 WAV_SECONDS = 3  # one length -> one bucket -> ONE train-step compile
@@ -74,6 +81,8 @@ def write_corpus(root):
 def write_config(path, dataset_root, exp_dir, vocab_npy):
     import yaml
 
+    d_model = 1024 if LARGE else 768
+    ffn = 4096 if LARGE else 3072
     cfg = {
         "data": {
             "dataset": {
@@ -93,8 +102,8 @@ def write_config(path, dataset_root, exp_dir, vocab_npy):
             "parallel_branch": {
                 "transformer_type": "TransformerEncoder",
                 "transformer_args": {
-                    "n_layers": 1, "d_model": 768, "nhead": 8,
-                    "dim_feedforward": 3072, "dropout": 0.1,
+                    "n_layers": 1, "d_model": d_model, "nhead": 8,
+                    "dim_feedforward": ffn, "dropout": 0.1,
                     "activation": "gelu", "layer_norm_eps": 1.0e-5,
                     "batch_first": True, "norm_first": False,
                 },
@@ -104,8 +113,8 @@ def write_config(path, dataset_root, exp_dir, vocab_npy):
                 "type": "KW_CascadedBranch",
                 "transformer_type": "MultiheadAttentionAndNorm",
                 "transformer_args": {
-                    "n_layers": 1, "d_model": 768, "nhead": 1,
-                    "dim_feedforward": 3072, "dropout": 0.1,
+                    "n_layers": 1, "d_model": d_model, "nhead": 1,
+                    "dim_feedforward": ffn, "dropout": 0.1,
                 },
                 "keyword": {
                     "number": 8,
@@ -125,24 +134,27 @@ def write_config(path, dataset_root, exp_dir, vocab_npy):
         },
         "cl_loss": {
             "type": "MaskedContrastiveLoss",
-            "args": {"temperature": 0.07, "temperature_trainable": False},
+            "args": {
+                "temperature": 0.07,
+                "temperature_trainable": bool(LARGE),
+            },
         },
         "retrieval": {"audio_feat_src": "parallel", "recall_at": [1, 5, 10]},
         "clip": {
-            "name": "ViT-B/32",
+            "name": "ViT-L/14" if LARGE else "ViT-B/32",
             "image_encoder_trainable": False,
             "text_encoder_trainable": False,
             "reduce_subword_embbedding": vocab_npy,
         },
         "audio_encoder": {
             "type": "FairseqHubert",
-            "name": "hubert",
+            "name": "hubert_large_ll60k" if LARGE else "hubert",
             "pretrained": False,
             "trainable": False,
             "feat_select_idx": "weighted_sum",
             "layer_drop": 0.0,
             "max_audio_len": 48000,
-            "normalize_hiddenstates": False,
+            "normalize_hiddenstates": bool(LARGE),
             "conv_batch_chunk": 64,
             "optim": {"name": "Adam", "args": {"lr": 1e-3, "weight_decay": 1e-6}},
             "scheduler": {
@@ -219,8 +231,10 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1:
-        NSTEPS = int(sys.argv[1])
-    if len(sys.argv) > 2:
-        BATCH = int(sys.argv[2])
+    argv = [a for a in sys.argv[1:] if a != "--large"]
+    LARGE = "--large" in sys.argv[1:]
+    if len(argv) > 0:
+        NSTEPS = int(argv[0])
+    if len(argv) > 1:
+        BATCH = int(argv[1])
     main()

@@ -445,6 +445,7 @@ class EncoderService:
         batch: int = 8,
         dtype=None,
         compact_wav: bool = False,
+        fixed_batch: bool = False,
         **kw,
     ):
         """Serve an in-memory model directly: the three encoder surfaces
@@ -463,7 +464,10 @@ class EncoderService:
         ship wav to the device as int16 PCM and rescale by 1/32768
         in-graph (the loader's compact_wav convention, data/loader.py:
         half the request + H2D bytes; exact for int16-origin payloads,
-        ±1/65536 quantization for float payloads).
+        ±1/65536 quantization for float payloads). ``fixed_batch=True``
+        pads every coalesced batch to exactly ``batch`` instead (ONE
+        compile per surface — the right trade when compiles are minutes,
+        e.g. remote-compiled platforms, and traffic keeps batches full).
         """
         import jax
         import jax.numpy as jnp
@@ -498,11 +502,15 @@ class EncoderService:
         class _PolyAval:
             """Aval with a symbolic (None) batch dim: the service treats
             the bucket like a polymorphic artifact (_pad_rows pads to the
-            next power of two; jit compiles per size)."""
+            next power of two; jit compiles per size). With
+            ``fixed_batch`` the dim is concrete and every call pads to it
+            (one compile)."""
 
             def __init__(self, shape, dtype):
                 self.shape = shape
                 self.dtype = dtype
+
+        bdim = batch if fixed_batch else None
 
         encoders = []
         for n in sorted({int(b) for b in wav_buckets}):
@@ -513,8 +521,8 @@ class EncoderService:
                         speech_fn,
                         (params, state),
                         [
-                            _PolyAval((None, n), wav_dtype),
-                            _PolyAval((None,), jnp.int32),
+                            _PolyAval((bdim, n), wav_dtype),
+                            _PolyAval((bdim,), jnp.int32),
                         ],
                     ),
                 )
@@ -526,7 +534,7 @@ class EncoderService:
                 _JitEncoder(
                     lambda params, images: model.forward_image(params, images),
                     (params,),
-                    [_PolyAval((None, size, size, 3), jnp.float32)],
+                    [_PolyAval((bdim, size, size, 3), jnp.float32)],
                 ),
             )
         )
@@ -540,8 +548,8 @@ class EncoderService:
                     ),
                     (params,),
                     [
-                        _PolyAval((None, ctx), jnp.int32),
-                        _PolyAval((None,), jnp.int32),
+                        _PolyAval((bdim, ctx), jnp.int32),
+                        _PolyAval((bdim,), jnp.int32),
                     ],
                 ),
             )

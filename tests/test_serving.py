@@ -829,6 +829,32 @@ class TestJitBackend:
         finally:
             svc2.close()
 
+    def test_fixed_batch_mode_pads_to_exactly_batch(self, model_and_state):
+        """fixed_batch=True = one compile per surface: every dispatch pads
+        to exactly `batch` (the remote-compile-friendly serving mode the
+        bench's serving_utt_per_sec extra uses)."""
+        model, params, state = model_and_state
+        svc = EncoderService.from_model(
+            model, params, state, wav_buckets=(2000,), batch=4,
+            max_wait_ms=5.0, fixed_batch=True,
+        )
+        try:
+            bucket = svc._route_speech(100)
+            assert bucket["fixed_batch"] == 4
+            h = svc._speech_dispatch([np.zeros(100, np.float32)], bucket)
+            out, n, _ = h
+            assert n == 1
+            # the device batch really is 4 (padded), sliced back to 1
+            assert list(out.values())[0].shape[0] == 4
+            res = svc._finalize_call(h)
+            assert len(res) == 1
+            # overflow beyond the fixed batch is a loud error, as with
+            # fixed artifacts
+            with pytest.raises(ValueError, match="exceeds"):
+                svc._speech_batch([np.zeros(10, np.float32)] * 8, bucket)
+        finally:
+            svc.close()
+
     def test_compact_wav_int16_on_device_matches_f32(self, model_and_state):
         """compact_wav=True ships int16 to the device (the measured v2/v3
         serving operating point): features must equal the f32 service's
