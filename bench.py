@@ -281,12 +281,11 @@ def serving_throughput(batch=32, n_req=256, concurrency=64):
     axon relay this is H2D-bandwidth-bound, not compute-bound
     (docs/DESIGN_NOTES.md "Production-dims serving"); it is driver-visible
     so serving-stack regressions show round-over-round."""
-    import threading
-
     import jax
 
     from __graft_entry__ import _flagship_config
     from speechclip_tpu.models.speechclip import SpeechCLIPModel
+    from speechclip_tpu import serving as serving_mod
     from speechclip_tpu.serving import EncoderService
 
     cfg = _flagship_config()
@@ -305,38 +304,23 @@ def serving_throughput(batch=32, n_req=256, concurrency=64):
         max_wait_ms=60.0,
     )
     try:
-        svc.warmup()
+        # warm the SPEECH bucket only (one compile): the bench never calls
+        # encode_image/text, and full warmup() would pay two more b32
+        # remote compiles for nothing on every driver run
+        svc._speech_batch(
+            [np.zeros(16, np.float32)], svc._route_speech(WAV_LEN)
+        )
         rng = np.random.default_rng(0)
         wavs = [
             rng.standard_normal(n).astype(np.float32)
             for n in np.linspace(WAV_LEN // 2, WAV_LEN, 8).astype(int)
         ]
-
-        def run_once():
-            remaining = [n_req]
-            lock = threading.Lock()
-            done = threading.Semaphore(0)
-
-            def client():
-                while True:
-                    with lock:
-                        if remaining[0] == 0:
-                            break
-                        i = remaining[0] = remaining[0] - 1
-                    svc.encode_speech(wavs[i % len(wavs)])
-                done.release()
-
-            t0 = time.perf_counter()
-            threads = [
-                threading.Thread(target=client) for _ in range(concurrency)
-            ]
-            for t in threads:
-                t.start()
-            for _ in threads:
-                done.acquire()
-            return n_req / (time.perf_counter() - t0)
-
-        vals = [run_once() for _ in range(3)]
+        vals = []
+        for _ in range(3):
+            elapsed, _lat = serving_mod.drive_requests(
+                svc, wavs, n_req, concurrency
+            )
+            vals.append(n_req / elapsed)
         return float(np.median(vals)), [float(min(vals)), float(max(vals))]
     finally:
         svc.close()

@@ -18,6 +18,8 @@ Dims:
                         loader's quantile-bucket convention; 6.4 s is the
                         reference's max_audio_len crop,
                         config/.../spchclp_p.yaml:104).
+  --dims large        — HuBERT-large + ViT-L/14 (parallel branch), the
+                        reference's 4-GPU model, same buckets.
 
 Measures, at several client concurrency levels: end-to-end request
 throughput, per-request latency p50/p95 (what a serving SLA is written
@@ -28,7 +30,7 @@ Run: python scripts/bench_serving.py [--backend jit] [--dims flagship]
         [--platform cpu] [--devices N] [--dtype bf16]
         [BATCH [WAV_SAMPLES [N_REQ]]]
 (BATCH = fixed device batch; WAV_SAMPLES only applies to --dims tiny —
-flagship always uses the 51200/102400 bucket pair.)
+flagship/large always use the 51200/102400 bucket pair.)
 """
 
 import sys
@@ -82,9 +84,9 @@ for a in _argv:
         args.append(a)
 if BACKEND not in ("artifact", "jit"):
     raise SystemExit(f"--backend must be artifact|jit, got {BACKEND!r}")
-if DIMS not in ("tiny", "flagship"):
-    raise SystemExit(f"--dims must be tiny|flagship, got {DIMS!r}")
-if DIMS == "flagship" and BACKEND == "artifact":
+if DIMS not in ("tiny", "flagship", "large"):
+    raise SystemExit(f"--dims must be tiny|flagship|large, got {DIMS!r}")
+if DIMS != "tiny" and BACKEND == "artifact":
     raise SystemExit(
         "--dims flagship needs --backend jit: the relay cannot compile "
         "weight-constant artifacts at flagship dims (DESIGN_NOTES)"
@@ -108,11 +110,16 @@ def build_service(jax):
     if devices:
         print(f"round-robin over {len(devices)} devices", flush=True)
 
-    if DIMS == "flagship":
+    if DIMS in ("flagship", "large"):
         from __graft_entry__ import _flagship_config
+        from speechclip_tpu.config import flagship_large_config
         from speechclip_tpu.models.speechclip import SpeechCLIPModel
 
-        cfg = _flagship_config()
+        if DIMS == "large":
+            cfg = flagship_large_config()
+            cfg.model_settings.cascaded_objective_weight = 0.0
+        else:
+            cfg = _flagship_config()
         cfg.audio_encoder.conv_batch_chunk = min(BATCH, 256)
         model = SpeechCLIPModel(cfg)
         params, state = model.init(jax.random.key(0))
@@ -156,7 +163,7 @@ def build_service(jax):
 
 
 def main():
-    import threading
+
 
     import numpy as np
 
@@ -188,33 +195,11 @@ def main():
         for n in np.linspace(buckets[0] // 2, buckets[-1], 8).astype(int)
     ]
 
+    from speechclip_tpu.serving import drive_requests
+
     for concurrency in (1, BATCH // 2 or 1, BATCH, 2 * BATCH):
-        done = threading.Semaphore(0)
-        t_start = time.perf_counter()
         b0 = {n: svc.batchers[n].batches_run for n in speech_batchers}
-        remaining = [N_REQ]
-        lock = threading.Lock()
-        latencies = []
-
-        def client():
-            while True:
-                with lock:
-                    if remaining[0] == 0:
-                        break
-                    i = remaining[0] = remaining[0] - 1
-                t_req = time.perf_counter()
-                svc.encode_speech(wavs[i % len(wavs)])
-                dt = time.perf_counter() - t_req
-                with lock:
-                    latencies.append(dt)
-            done.release()
-
-        threads = [threading.Thread(target=client) for _ in range(concurrency)]
-        for t in threads:
-            t.start()
-        for _ in threads:
-            done.acquire()
-        dt = time.perf_counter() - t_start
+        dt, latencies = drive_requests(svc, wavs, N_REQ, concurrency)
         batches = sum(
             svc.batchers[n].batches_run - b0[n] for n in speech_batchers
         )

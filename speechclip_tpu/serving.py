@@ -998,6 +998,50 @@ class EncoderService:
             b.close()
 
 
+def drive_requests(service, wavs, n_req: int, concurrency: int):
+    """Load-generator for benches: fire ``n_req`` encode_speech requests
+    from ``concurrency`` client threads over the ``wavs`` pool (round-
+    robin); -> (elapsed_seconds, per-request latencies). The one shared
+    harness for bench.py's serving extra and scripts/bench_serving.py.
+
+    Hang-proof by construction: completion is thread ``join``, not a
+    semaphore a dying client could fail to release; a client exception
+    stops the remaining work and re-raises in the caller after all
+    threads have joined."""
+    remaining = [int(n_req)]
+    lock = threading.Lock()
+    latencies: List[float] = []
+    errors: List[BaseException] = []
+
+    def client():
+        try:
+            while True:
+                with lock:
+                    if remaining[0] == 0:
+                        return
+                    i = remaining[0] = remaining[0] - 1
+                t0 = time.perf_counter()
+                service.encode_speech(wavs[i % len(wavs)])
+                dt = time.perf_counter() - t0
+                with lock:
+                    latencies.append(dt)
+        except BaseException as e:  # noqa: BLE001 — must reach the caller
+            with lock:
+                errors.append(e)
+                remaining[0] = 0  # stop the other clients promptly
+
+    threads = [threading.Thread(target=client) for _ in range(concurrency)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    elapsed = time.perf_counter() - t_start
+    if errors:
+        raise errors[0]
+    return elapsed, latencies
+
+
 # ---------------------------------------------------------------------------
 # HTTP front end (stdlib only)
 # ---------------------------------------------------------------------------

@@ -500,6 +500,47 @@ class TestHTTPServer:
         assert resp.status == 400 and "error" in body
 
 
+class TestDriveRequests:
+    """The shared bench load-generator (serving.drive_requests) must be
+    hang-proof: a client exception re-raises in the caller after all
+    threads join, never deadlocks (review finding: the old semaphore shape
+    hung forever if a client died before releasing)."""
+
+    class _FakeService:
+        def __init__(self, fail_at=None):
+            self.calls = 0
+            self._fail_at = fail_at
+            self._lock = threading.Lock()
+
+        def encode_speech(self, wav):
+            with self._lock:
+                self.calls += 1
+                n = self.calls
+            if self._fail_at is not None and n == self._fail_at:
+                raise RuntimeError("device fell over")
+            return {"parallel_audio_feat": np.zeros(4)}
+
+    def test_all_requests_complete(self):
+        from speechclip_tpu.serving import drive_requests
+
+        svc = self._FakeService()
+        wavs = [np.zeros(8, np.float32)]
+        elapsed, latencies = drive_requests(svc, wavs, 20, 4)
+        assert svc.calls == 20
+        assert len(latencies) == 20
+        assert elapsed > 0
+
+    def test_client_error_reraises_without_hanging(self):
+        from speechclip_tpu.serving import drive_requests
+
+        svc = self._FakeService(fail_at=5)
+        wavs = [np.zeros(8, np.float32)]
+        with pytest.raises(RuntimeError, match="device fell over"):
+            drive_requests(svc, wavs, 1000, 8)
+        # remaining work was cancelled, not drained
+        assert svc.calls < 1000
+
+
 class TestGalleryLifecycle:
     """Persistence + size bound for the retrieval gallery (restart-safe
     serving: save/load one .npz of ids + L2-normalized features; FIFO
