@@ -21,8 +21,8 @@ those paths are caught round-over-round (VERDICT r1 weak #4):
 Extras methodology (VERDICT r2 weak #1/#2): each number is AMORTIZED — an
 in-graph ``lax.fori_loop`` runs AMORTIZE_ITERS step bodies per dispatch
 (the body input depends on the loop carry so XLA cannot hoist it), so the
-axon relay's ~15-30 ms per-dispatch latency is divided by 8 instead of
-added to every step. The loop is re-dispatched REPS times post-warmup;
+axon relay's ~15-30 ms per-dispatch latency is divided by the depth
+instead of added to every step. The loop is re-dispatched REPS times post-warmup;
 the reported value is the median per-iteration time and
 ``<key>_minmax`` carries [min, max] across reps so round-over-round
 deltas are distinguishable from relay noise. The headline also reports
@@ -51,7 +51,12 @@ WAV_LEN = 102400  # 6.4 s @ 16 kHz
 GALLERY = 5000
 STEPS = 8
 EXTRA_BATCH = 256
-AMORTIZE_ITERS = 8  # in-graph fori_loop iterations per dispatch
+# In-graph fori_loop iterations per dispatch. Depth 32 (round 4; was 8):
+# the relay's ~23 ms per-dispatch latency divides by this, and a depth
+# A/B (282.7 ms at 8 vs 279.8 at 32 for the b256 train step, spread
+# <0.4 ms) showed depth 8 still carried ~3 ms of dispatch residue —
+# docs/DESIGN_NOTES.md "Amortization depth".
+AMORTIZE_ITERS = 32
 REPS = 5  # timed dispatches of the amortized loop (median + min/max)
 
 
