@@ -140,20 +140,11 @@ def encode_variant(variant):
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship_config
+    from speechclip_tpu.config import bench_variant_config
     from speechclip_tpu.models.speechclip import SpeechCLIPModel
     from speechclip_tpu.ops.basic import l2_normalize
 
-    from speechclip_tpu.config import flagship_large_config
-
-    if variant == "base_casc":
-        cfg = _flagship_config()
-        cfg.model_settings.parallel_objective_weight = 0.0
-    elif variant == "large_par":
-        cfg = flagship_large_config()
-        cfg.model_settings.cascaded_objective_weight = 0.0
-    else:
-        raise ValueError(variant)
+    cfg = bench_variant_config(variant)
     cfg.audio_encoder.conv_batch_chunk = 256
 
     model = SpeechCLIPModel(cfg)

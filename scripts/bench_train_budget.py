@@ -55,22 +55,14 @@ WAV_LEN = 102400
 
 
 def variant_config(variant):
-    """The bench variant's model config (branch gating by suffix)."""
-    from __graft_entry__ import _flagship_config
-    from speechclip_tpu.config import flagship_large_config
+    """The bench variant's model config (speechclip_tpu.config owns the
+    shared switch)."""
+    from speechclip_tpu.config import bench_variant_config
 
-    base = variant.split("_")[0]
-    if base == "base":
-        cfg = _flagship_config()
-    elif base == "large":
-        cfg = flagship_large_config()
-    else:
-        raise SystemExit(f"unknown variant {variant!r}")
-    if variant.endswith("_par"):
-        cfg.model_settings.cascaded_objective_weight = 0.0
-    elif variant.endswith("_casc"):
-        cfg.model_settings.parallel_objective_weight = 0.0
-    return cfg
+    try:
+        return bench_variant_config(variant)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
 
 def main():

@@ -29,23 +29,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship_config
     from speechclip_tpu.models.speechclip import SpeechCLIPModel
     from speechclip_tpu.ops.basic import l2_normalize
 
-    from speechclip_tpu.config import flagship_large_config
+    from speechclip_tpu.config import bench_variant_config
 
-    if VARIANT.startswith("large"):
-        cfg = flagship_large_config()
-    else:
-        cfg = _flagship_config()
+    try:
+        cfg = bench_variant_config(VARIANT)
+    except ValueError as e:
+        raise SystemExit(str(e))
     cfg.audio_encoder.conv_batch_chunk = 256
-    if VARIANT in ("base_par", "large_par"):
-        cfg.model_settings.cascaded_objective_weight = 0.0
-    elif VARIANT in ("base_casc", "large_casc"):
-        cfg.model_settings.parallel_objective_weight = 0.0
-    else:
-        raise SystemExit(f"unknown variant {VARIANT}")
 
     model = SpeechCLIPModel(cfg)
     params, state = model.init(jax.random.key(0))

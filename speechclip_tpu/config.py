@@ -300,6 +300,27 @@ def flagship_large_config() -> ConfigNode:
     return cfg
 
 
+def bench_variant_config(variant: str) -> ConfigNode:
+    """The bench scripts' shared variant -> config switch:
+    ``{base,large}[_par|_casc]``. Prefix picks the preset (flagship base
+    or large); the suffix gates to one live branch (_par zeroes the
+    cascaded objective, _casc the parallel one). Four scripts once
+    carried their own copies of this switch and drifted (bench_variants
+    lost the large normalize_hiddenstates flag at one point)."""
+    prefix = variant.split("_")[0]
+    if prefix == "base":
+        cfg = flagship_config()
+    elif prefix == "large":
+        cfg = flagship_large_config()
+    else:
+        raise ValueError(f"unknown bench variant {variant!r}")
+    if variant.endswith("_par"):
+        cfg.model_settings.cascaded_objective_weight = 0.0
+    elif variant.endswith("_casc"):
+        cfg.model_settings.parallel_objective_weight = 0.0
+    return cfg
+
+
 def flagship_tiny_config() -> ConfigNode:
     """``flagship_config()`` shrunk to tiny tower dims with the SAME
     topology (both branches, kw-BN, VQ, weighted sum, reduced-vocab-free).

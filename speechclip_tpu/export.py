@@ -61,6 +61,23 @@ def _export_fn(fn, example_args, platforms, polymorphic_batch=False):
     return bytes(exported.serialize())
 
 
+def encode_speech_surface(model):
+    """The encode_speech deployment surface shared by export and the jit
+    serving backend: ``fn(params, state, wav, wav_len) -> feature dict``,
+    arrays only, vq diagnostics dropped."""
+
+    def fn(params, state, wav, wav_len):
+        out = model.encode_speech(params, state, wav, wav_len)
+        return {
+            k: v
+            for k, v in out.items()
+            if isinstance(v, jnp.ndarray) or hasattr(v, "shape")
+            if k != "vq_results"
+        }
+
+    return fn
+
+
 def export_encode_speech(
     model,
     params,
@@ -79,15 +96,10 @@ def export_encode_speech(
     are captured as constants.
     """
     platforms = tuple(platforms) if platforms else _default_platforms()
+    surface = encode_speech_surface(model)
 
     def fn(wav, wav_len):
-        out = model.encode_speech(params, state, wav, wav_len)
-        return {
-            k: v
-            for k, v in out.items()
-            if isinstance(v, jnp.ndarray) or hasattr(v, "shape")
-            if k != "vq_results"
-        }
+        return surface(params, state, wav, wav_len)
 
     example = (
         jnp.zeros((batch_size, wav_samples), jnp.float32),
@@ -200,27 +212,11 @@ def main():
     if platforms:
         jax.config.update("jax_platforms", platforms[0])
 
-    from .config import ConfigNode
-    from .models.speechclip import SpeechCLIPModel
-    from .training.checkpoint import load_config_from_checkpoint
+    from .training.checkpoint import load_any_checkpoint
 
-    if args.ckpt.endswith(".ckpt"):
-        from .convert.reference_ckpt import load_reference_checkpoint
-
-        params, model_state, config = load_reference_checkpoint(args.ckpt)
-        config = ConfigNode(config)
-        model = SpeechCLIPModel(config)
-        state = model_state or {}
-    else:
-        config = load_config_from_checkpoint(args.ckpt)
-        # PRNG impl must match the run that wrote the checkpoint (the
-        # shipped configs set trainer.fast_rng -> rbg; the restore guard
-        # rejects a mismatched key impl) and must be set before any key
-        if config.get_path("trainer.fast_rng", False):
-            jax.config.update("jax_default_prng_impl", "rbg")
-        from .training.checkpoint import restore_inference_state
-
-        model, params, state = restore_inference_state(config, args.ckpt)
+    # shared restore path (handles reference .ckpt conversion and the
+    # orbax-run PRNG-impl guard — trainer.fast_rng -> rbg before any key)
+    model, params, state = load_any_checkpoint(args.ckpt)
 
     if args.dtype == "bf16":
         params = cast_float_params(params, jnp.bfloat16)

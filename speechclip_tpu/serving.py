@@ -264,6 +264,17 @@ class _JitEncoder:
         return self._jit(*captures, *args)
 
 
+class _Aval:
+    """Input-shape declaration for a _JitEncoder bucket: a None batch dim
+    means polymorphic (the service pads coalesced batches to the next
+    power of two and jit compiles per size); a concrete dim means every
+    call pads to exactly that batch (one compile)."""
+
+    def __init__(self, shape, dtype):
+        self.shape = shape
+        self.dtype = dtype
+
+
 def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length() if n > 1 else 1
 
@@ -485,31 +496,11 @@ class EncoderService:
         if kw.get("max_batch") is None:
             kw["max_batch"] = batch
         wav_dtype = jnp.int16 if compact_wav else jnp.float32
+        # int16 wav passes straight through the surface fn: forward_audio
+        # owns the compact-wav rescale contract (speechclip.py:391-396)
+        from .export import encode_speech_surface
 
-        def speech_fn(params, state, wav, wav_len):
-            # int16 wav passes straight through: forward_audio owns the
-            # compact-wav rescale contract (models/speechclip.py:391-396)
-            out = model.encode_speech(params, state, wav, wav_len)
-            # same surface as export_encode_speech (export.py): arrays
-            # only, vq diagnostics dropped
-            return {
-                k: v
-                for k, v in out.items()
-                if hasattr(v, "shape")
-                if k != "vq_results"
-            }
-
-        class _PolyAval:
-            """Aval with a symbolic (None) batch dim: the service treats
-            the bucket like a polymorphic artifact (_pad_rows pads to the
-            next power of two; jit compiles per size). With
-            ``fixed_batch`` the dim is concrete and every call pads to it
-            (one compile)."""
-
-            def __init__(self, shape, dtype):
-                self.shape = shape
-                self.dtype = dtype
-
+        speech_fn = encode_speech_surface(model)
         bdim = batch if fixed_batch else None
 
         encoders = []
@@ -521,8 +512,8 @@ class EncoderService:
                         speech_fn,
                         (params, state),
                         [
-                            _PolyAval((bdim, n), wav_dtype),
-                            _PolyAval((bdim,), jnp.int32),
+                            _Aval((bdim, n), wav_dtype),
+                            _Aval((bdim,), jnp.int32),
                         ],
                     ),
                 )
@@ -534,7 +525,7 @@ class EncoderService:
                 _JitEncoder(
                     lambda params, images: model.forward_image(params, images),
                     (params,),
-                    [_PolyAval((bdim, size, size, 3), jnp.float32)],
+                    [_Aval((bdim, size, size, 3), jnp.float32)],
                 ),
             )
         )
@@ -548,8 +539,8 @@ class EncoderService:
                     ),
                     (params,),
                     [
-                        _PolyAval((bdim, ctx), jnp.int32),
-                        _PolyAval((bdim,), jnp.int32),
+                        _Aval((bdim, ctx), jnp.int32),
+                        _Aval((bdim,), jnp.int32),
                     ],
                 ),
             )
@@ -570,30 +561,11 @@ class EncoderService:
         Lightning ``.ckpt``) and serve its encoders via the jit backend —
         the production-dims serving path (reference inference surface:
         example.py:10-40, which imports the whole training repo instead).
-        Same restore logic as the export CLI (export.py main)."""
-        from .config import ConfigNode
-        from .models.speechclip import SpeechCLIPModel
+        Restore itself is the export CLI's shared path
+        (training/checkpoint.py load_any_checkpoint)."""
+        from .training.checkpoint import load_any_checkpoint
 
-        if str(ckpt).endswith(".ckpt"):
-            from .convert.reference_ckpt import load_reference_checkpoint
-
-            params, model_state, config = load_reference_checkpoint(ckpt)
-            model = SpeechCLIPModel(ConfigNode(config))
-            state = model_state or {}
-        else:
-            import jax
-
-            from .training.checkpoint import (
-                load_config_from_checkpoint,
-                restore_inference_state,
-            )
-
-            config = load_config_from_checkpoint(ckpt)
-            # PRNG impl must match the run that wrote the checkpoint and
-            # must be set before any key is created (export.py:218-220)
-            if config.get_path("trainer.fast_rng", False):
-                jax.config.update("jax_default_prng_impl", "rbg")
-            model, params, state = restore_inference_state(config, ckpt)
+        model, params, state = load_any_checkpoint(ckpt)
         return cls.from_model(
             model,
             params,

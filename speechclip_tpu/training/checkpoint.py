@@ -230,6 +230,30 @@ def load_config_from_checkpoint(ckpt_dir: str) -> ConfigNode:
     raise FileNotFoundError(f"no config.yaml found near {ckpt_dir}")
 
 
+def load_any_checkpoint(ckpt_path: str):
+    """(model, params, model_state) from EITHER an orbax run checkpoint or
+    a reference Lightning ``.ckpt`` (converted on the fly) — the shared
+    restore path of the export CLI and the jit serving backend. For orbax
+    runs the PRNG impl the run used is configured first (trainer.fast_rng
+    -> rbg; must happen before any key is created)."""
+    from ..config import ConfigNode
+    from ..models.speechclip import SpeechCLIPModel
+
+    if str(ckpt_path).endswith(".ckpt"):
+        from ..convert.reference_ckpt import load_reference_checkpoint
+
+        params, model_state, config = load_reference_checkpoint(ckpt_path)
+        model = SpeechCLIPModel(ConfigNode(config))
+        return model, params, model_state or {}
+
+    import jax
+
+    config = load_config_from_checkpoint(ckpt_path)
+    if config.get_path("trainer.fast_rng", False):
+        jax.config.update("jax_default_prng_impl", "rbg")
+    return restore_inference_state(config, ckpt_path)
+
+
 def restore_inference_state(config: ConfigNode, ckpt_path: str):
     """(model, params, model_state) from a run checkpoint, WITHOUT the run
     machinery's side effects — no workdir/logger creation, no TB events
