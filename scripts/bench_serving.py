@@ -88,8 +88,8 @@ if DIMS not in ("tiny", "flagship", "large"):
     raise SystemExit(f"--dims must be tiny|flagship|large, got {DIMS!r}")
 if DIMS != "tiny" and BACKEND == "artifact":
     raise SystemExit(
-        "--dims flagship needs --backend jit: the relay cannot compile "
-        "weight-constant artifacts at flagship dims (DESIGN_NOTES)"
+        f"--dims {DIMS} needs --backend jit: the relay cannot compile "
+        "weight-constant artifacts at production dims (DESIGN_NOTES)"
     )
 BATCH = int(args[0]) if len(args) > 0 else 8
 WAV_SAMPLES = int(args[1]) if len(args) > 1 else 16000
@@ -163,8 +163,6 @@ def build_service(jax):
 
 
 def main():
-
-
     import numpy as np
 
     import jax
