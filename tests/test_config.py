@@ -53,3 +53,40 @@ def test_to_dict_deep():
     cfg = ConfigNode({"a": {"b": 1}})
     d = cfg.to_dict()
     assert type(d) is dict and type(d["a"]) is dict
+
+
+def test_bench_variant_config_switch():
+    """Drift guard for the shared bench variant switch
+    (config.bench_variant_config): the per-script copies it replaced once
+    diverged (bench_variants lost the large normalize_hiddenstates flag),
+    so pin the fields that distinguish the presets and the branch gating.
+    Large preset diffs mirror the reference's shipped base->large YAML
+    diffs (config/speechCLIP/model_large/*)."""
+    import pytest
+
+    from speechclip_tpu.config import bench_variant_config
+
+    base = bench_variant_config("base")
+    assert base.audio_encoder.name == "hubert"
+    assert base.clip.name == "ViT-B/32"
+    assert base.model_settings.cascaded_objective_weight > 0
+    assert base.model_settings.parallel_objective_weight > 0
+
+    par = bench_variant_config("base_par")
+    assert par.model_settings.cascaded_objective_weight == 0.0
+    assert par.model_settings.parallel_objective_weight > 0
+
+    casc = bench_variant_config("large_casc")
+    assert casc.model_settings.parallel_objective_weight == 0.0
+    assert casc.model_settings.cascaded_objective_weight > 0
+    # the drift-prone large flags, all of them
+    assert casc.audio_encoder.name == "hubert_large_ll60k"
+    assert casc.audio_encoder.normalize_hiddenstates is True
+    assert casc.clip.name == "ViT-L/14"
+    assert casc.cl_loss.args.temperature_trainable is True
+    for b in ("parallel_branch", "cascaded_branch"):
+        assert casc.model_settings[b].transformer_args.d_model == 1024
+        assert casc.model_settings[b].transformer_args.dim_feedforward == 4096
+
+    with pytest.raises(ValueError, match="unknown bench variant"):
+        bench_variant_config("huge_par")
