@@ -273,3 +273,43 @@ def test_released_ckpt_stat_path_remaps_to_vendored(reference_checkpoint):
     import numpy as _np
 
     assert _np.load(resolved).shape == (8112, 2)
+
+
+class TestLightningCkptToServing:
+    """The reference user's switch-over surface: a Lightning ``.ckpt`` ON
+    DISK -> EncoderService.from_checkpoint -> served features equal the
+    converted model's direct math. Covers load_any_checkpoint's .ckpt
+    branch (training/checkpoint.py) and load_reference_checkpoint
+    (convert/reference_ckpt.py:231), which the in-memory conversion tests
+    above never exercise. Reference anchor: example.py:10-40 — loading the
+    released .ckpt is the reference's only deployment story."""
+
+    def test_from_checkpoint_lightning_file(
+        self, reference_checkpoint, tmp_path
+    ):
+        ckpt, _, _ = reference_checkpoint
+        path = tmp_path / "epoch=42-step=1234.ckpt"
+        torch.save(ckpt, str(path))
+
+        from speechclip_tpu.serving import EncoderService
+        from speechclip_tpu.training.checkpoint import load_any_checkpoint
+
+        model, params, state = load_any_checkpoint(str(path))
+        svc = EncoderService.from_checkpoint(
+            str(path), wav_buckets=(2000,), batch=2, max_wait_ms=5.0
+        )
+        try:
+            rng = np.random.default_rng(7)
+            wav = rng.standard_normal(1800).astype(np.float32)
+            got = svc.encode_speech(wav)
+            padded = np.zeros((1, 2000), np.float32)
+            padded[0, :1800] = wav
+            want = model.encode_speech(
+                params, state, jnp.asarray(padded), jnp.asarray([1800])
+            )
+            for key in ("parallel_audio_feat", "cascaded_audio_feat"):
+                np.testing.assert_allclose(
+                    got[key], np.asarray(want[key])[0], atol=1e-5
+                )
+        finally:
+            svc.close()
