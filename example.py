@@ -46,24 +46,12 @@ def main():
         config = flagship_config()
         model = SpeechCLIPModel(config)
         params, model_state = model.init(jax.random.key(0))
-    elif args.ckpt.endswith(".ckpt"):  # reference Lightning checkpoint
-        from speechclip_tpu.convert import load_reference_checkpoint
-
-        params, model_state, config = load_reference_checkpoint(args.ckpt)
-        model = SpeechCLIPModel(config)
     else:
-        from speechclip_tpu.training.checkpoint import (
-            load_config_from_checkpoint,
-            restore_inference_state,
-        )
+        # shared restore path (reference Lightning .ckpt conversion OR an
+        # orbax run dir with its PRNG-impl guard — training/checkpoint.py)
+        from speechclip_tpu.training.checkpoint import load_any_checkpoint
 
-        config = load_config_from_checkpoint(args.ckpt)
-        # PRNG impl must match the run that wrote the checkpoint (shipped
-        # configs set trainer.fast_rng -> rbg keys) and must be set before
-        # any key is created — same contract as export.py's loader.
-        if config.get_path("trainer.fast_rng", False):
-            jax.config.update("jax_default_prng_impl", "rbg")
-        model, params, model_state = restore_inference_state(config, args.ckpt)
+        model, params, model_state = load_any_checkpoint(args.ckpt)
 
     if args.wav:
         wavs = [read_wav(p) for p in args.wav]
