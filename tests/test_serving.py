@@ -958,3 +958,28 @@ def test_warmup_compiles_every_surface(service):
     assert before == after  # direct calls, not fake requests
     out = service.encode_speech(np.zeros(700, np.float32))
     assert np.isfinite(out["parallel_audio_feat"]).all()
+
+
+def test_bench_canary_estimator():
+    """Drift guard for bench.py's serving canary methodology: one untimed
+    half-size priming drive, then CANARY_DRIVES timed drives, value =
+    best-of-N with the full spread in _minmax (see bench._canary_drive for
+    the wire-weather rationale; reverting to a median or dropping the
+    priming pass silently changes what the round-over-round key means)."""
+    import bench
+
+    calls = []
+    # elapsed seconds per timed drive for n_req=200 -> utt/s 50,100,80,40,25
+    elapsed = iter([9.9, 4.0, 2.0, 2.5, 5.0, 8.0])
+
+    def fake_drive(svc, wavs, n_req, concurrency):
+        calls.append((n_req, concurrency))
+        return next(elapsed), []
+
+    value, minmax = bench._canary_drive("svc", ["wav"], 200, 64, fake_drive)
+    # priming drive: half-size, untimed (its 9.9 s must not appear below)
+    assert calls[0] == (100, 64)
+    assert len(calls) == 1 + bench.CANARY_DRIVES
+    assert all(c == (200, 64) for c in calls[1:])
+    assert value == 100.0  # best of [50, 100, 80, 40, 25]
+    assert minmax == [25.0, 100.0]
