@@ -14,7 +14,7 @@ Amortized fori_loop methodology per stage (docs/DESIGN_NOTES.md); each
 stage is one remote compile — pass a subset to keep compiles short.
 
 Run: python scripts/bench_train_budget.py [--variant V] [--remat]
-        [STAGES [BATCH [ITERS]]]
+        [--accum N] [STAGES [BATCH [ITERS]]]
 STAGES = comma list of audio,image,forward,loss,grad,step (default all)
 VARIANT = base (both branches, the default) | base_par | base_casc |
           large | large_par | large_casc — large = HuBERT-large +
@@ -33,6 +33,7 @@ sys.path.insert(0, ".")
 
 VARIANT = "base"
 REMAT = False
+ACCUM = 1
 args = []
 _argv = iter(sys.argv[1:])
 for a in _argv:
@@ -42,8 +43,14 @@ for a in _argv:
         VARIANT = next(_argv)
     elif a == "--remat":
         REMAT = True
+    elif a.startswith("--accum="):
+        ACCUM = int(a.split("=", 1)[1])
+    elif a == "--accum":
+        ACCUM = int(next(_argv))
     elif a.startswith("--"):
-        raise SystemExit(f"unknown flag {a!r} (valid: --variant, --remat)")
+        raise SystemExit(
+            f"unknown flag {a!r} (valid: --variant, --remat, --accum)"
+        )
     else:
         args.append(a)
 STAGES = (
@@ -184,6 +191,14 @@ def main():
         timed("grad", loop(grad), params, batch)
 
     if "step" in STAGES:
+        if ACCUM > 1:
+            # gradient accumulation (trainer.accumulate_grad_batches ->
+            # optax.MultiSteps, training/optim.py): each fori_loop
+            # iteration is then ONE micro-step, so the printed ms/iter is
+            # the micro-step cost INCLUDING the accumulator read+write
+            # (param-sized f32 buffers); an effective batch of
+            # ACCUM*BATCH costs ACCUM times the printed number.
+            cfg.set_path("trainer.accumulate_grad_batches", ACCUM)
         tx, _ = build_optimizer(cfg, model.trainable_mask(params))
         tstate = create_train_state(model, tx, jax.random.key(0))
         train_step = make_train_step(model, tx)
@@ -208,7 +223,8 @@ def main():
         t0 = time.perf_counter()
         float(f(tstate, batch))
         dt = (time.perf_counter() - t0) / ITERS
-        print(f"{'step':10s} {dt*1e3:8.1f} ms/iter (amortized)")
+        tag = f" accum={ACCUM} (micro-step)" if ACCUM > 1 else ""
+        print(f"{'step':10s} {dt*1e3:8.1f} ms/iter (amortized){tag}")
 
 
 if __name__ == "__main__":
