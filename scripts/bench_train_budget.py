@@ -22,6 +22,10 @@ VARIANT = base (both branches, the default) | base_par | base_casc |
           (speechclip_tpu.config.flagship_large_config)
 --remat   = rematerialize HuBERT encoder layers in the backward
           (audio_encoder.remat — trades FLOPs for activation memory)
+--wsum-remat = audio_encoder.wsum_remat: frozen weighted-sum with backward
+          recompute; the N-state stack is never live (large b256 enabler)
+--imgcache = feed precomputed frozen image features (the shipped
+          trainer.cache_image_features operating point)
 """
 
 import sys
@@ -34,6 +38,9 @@ sys.path.insert(0, ".")
 VARIANT = "base"
 REMAT = False
 ACCUM = 1
+WSUM_REMAT = False
+IMGCACHE = False
+CONV_CHUNK = 0  # 0 = the default min(BATCH, 256)
 args = []
 _argv = iter(sys.argv[1:])
 for a in _argv:
@@ -43,13 +50,27 @@ for a in _argv:
         VARIANT = next(_argv)
     elif a == "--remat":
         REMAT = True
+    elif a == "--wsum-remat":
+        # audio_encoder.wsum_remat: frozen weighted-sum with backward
+        # recompute — the N-hidden-state stack is never live (the large
+        # model's b256 OOM buffer, docs/DESIGN_NOTES.md)
+        WSUM_REMAT = True
+    elif a == "--imgcache":
+        # trainer.cache_image_features operating point: feed precomputed
+        # frozen image features (the shipped default)
+        IMGCACHE = True
     elif a.startswith("--accum="):
         ACCUM = int(a.split("=", 1)[1])
     elif a == "--accum":
         ACCUM = int(next(_argv))
+    elif a.startswith("--conv-chunk="):
+        CONV_CHUNK = int(a.split("=", 1)[1])
+    elif a == "--conv-chunk":
+        CONV_CHUNK = int(next(_argv))
     elif a.startswith("--"):
         raise SystemExit(
-            f"unknown flag {a!r} (valid: --variant, --remat, --accum)"
+            f"unknown flag {a!r} (valid: --variant, --remat, --wsum-remat,"
+            " --imgcache, --accum, --conv-chunk)"
         )
     else:
         args.append(a)
@@ -90,10 +111,16 @@ def main():
     )
 
     cfg = variant_config(VARIANT)
-    cfg.audio_encoder.conv_batch_chunk = min(BATCH, 256)
+    cfg.audio_encoder.conv_batch_chunk = CONV_CHUNK or min(BATCH, 256)
     if REMAT:
         cfg.audio_encoder.remat = True
-    print(f"variant {VARIANT} b{BATCH} remat={REMAT}", flush=True)
+    if WSUM_REMAT:
+        cfg.audio_encoder.wsum_remat = True
+    print(
+        f"variant {VARIANT} b{BATCH} remat={REMAT} wsum_remat={WSUM_REMAT}"
+        f" imgcache={IMGCACHE} conv_chunk={cfg.audio_encoder.conv_batch_chunk}",
+        flush=True,
+    )
     model = SpeechCLIPModel(cfg)
 
     rng = np.random.default_rng(0)
@@ -112,6 +139,14 @@ def main():
 
     params, state = model.init(jax.random.key(0))
 
+    if IMGCACHE:
+        # the shipped operating point: the frozen tower's features are
+        # precomputed once per fit (trainer.cache_image_features); the step
+        # consumes features, not images (bench.py does the same)
+        tower = jax.jit(model.encode_image_tower)
+        feat = tower(params, batch.pop("image"))
+        batch["image_feat_frozen"] = feat.astype(jnp.float32)
+
     def timed(name, fn, *args):
         f = jax.jit(fn)
         float(jnp.sum(f(*args)).astype(jnp.float32))  # compile+warm
@@ -129,7 +164,7 @@ def main():
                 # frozen image-tower forward out of the loop (measured:
                 # full step 263 -> 286.5 ms once the image is perturbed)
                 b2 = dict(batch)
-                for k in ("wav", "image"):
+                for k in ("wav", "image", "image_feat_frozen"):
                     if k in b2:
                         b2[k] = batch[k] + (acc[0] * 0).astype(
                             batch[k].dtype
@@ -150,7 +185,9 @@ def main():
 
         timed("audio", loop(audio), params, batch)
 
-    if "image" in STAGES:
+    if "image" in STAGES and IMGCACHE:
+        print("image      skipped (--imgcache: tower runs once per fit)")
+    elif "image" in STAGES:
         def image(p, b):
             feat = model.forward_image(p, b["image"])
             return jnp.mean(feat.astype(jnp.float32))
@@ -206,10 +243,9 @@ def main():
         def multi(s, b):
             def body(i, s):
                 b2 = dict(b)
-                b2["wav"] = b["wav"] + (0.0 * s.step).astype(b["wav"].dtype)
-                b2["image"] = b["image"] + (0.0 * s.step).astype(
-                    b["image"].dtype
-                )
+                for k in ("wav", "image", "image_feat_frozen"):
+                    if k in b2:
+                        b2[k] = b[k] + (0.0 * s.step).astype(b[k].dtype)
                 s2, _ = train_step(s, b2)
                 return s2
 

@@ -30,6 +30,7 @@ transformers HubertModel state dict).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -396,21 +397,16 @@ def encoder_layer_apply(
     return x
 
 
-def hubert_apply(
+def _encoder_prelude(
     params: Params,
     cfg: HubertConfig,
-    wav: jnp.ndarray,  # (B, L) f32, zero-padded
-    wav_lengths: jnp.ndarray,  # (B,) int
-    rng: Optional[jax.Array] = None,
-    train: bool = False,
-) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
-    """Full forward. Returns (hidden_states tuple of (B, T, D), feat_lengths).
-
-    hidden_states mirrors the reference layer_results contract
-    (speech_encoder_plus.py:47-56): entry 0 is the encoder input after
-    pos_conv (+ LayerNorm for post-norm), then one entry per layer output.
-    feat_lengths is round(len/320) clamped (reference :604-611).
-    """
+    wav: jnp.ndarray,
+    wav_lengths: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Everything before the transformer layers: waveform normalize, conv
+    frontend, post-extract projection, pos_conv (+ post-norm LayerNorm).
+    Returns (x, kpm, frame_lens); x is hidden state 0. Shared by
+    ``hubert_apply`` and the frozen weighted-sum path below."""
     compute_dtype = wav.dtype
 
     if cfg.normalize_waveform:
@@ -439,6 +435,26 @@ def hubert_apply(
     x = x + pos_conv_apply(params["encoder"]["pos_conv"], cfg, x)
     if not cfg.layer_norm_first:
         x = layer_norm(params["encoder"]["layer_norm"], x)
+    return x, kpm, frame_lens
+
+
+def hubert_apply(
+    params: Params,
+    cfg: HubertConfig,
+    wav: jnp.ndarray,  # (B, L) f32, zero-padded
+    wav_lengths: jnp.ndarray,  # (B,) int
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
+    """Full forward. Returns (hidden_states tuple of (B, T, D), feat_lengths).
+
+    hidden_states mirrors the reference layer_results contract
+    (speech_encoder_plus.py:47-56): entry 0 is the encoder input after
+    pos_conv (+ LayerNorm for post-norm), then one entry per layer output.
+    feat_lengths is round(len/320) clamped (reference :604-611).
+    """
+    x, kpm, frame_lens = _encoder_prelude(params, cfg, wav, wav_lengths)
+    num_frames = x.shape[1]
     if train and cfg.dropout > 0 and rng is not None:
         rng, r = jax.random.split(rng)
         x = dropout(r, x, cfg.dropout, train)
@@ -472,6 +488,165 @@ def hubert_apply(
         wav_lengths, cfg.downsample_rate, num_frames
     )
     return tuple(hidden_states), feat_lens
+
+
+def conv_output_length(cfg: HubertConfig, n_samples: int) -> int:
+    """Static conv-frontend output length (VALID padding, per-layer stride)."""
+    length = n_samples
+    for (_ch, k, s) in cfg.conv_layers:
+        length = (length - k) // s + 1
+    return length
+
+
+# ---------------------------------------------------------------------------
+# frozen weighted-sum with backward recompute (memory: O(2 states), not O(N))
+# ---------------------------------------------------------------------------
+def _process_state(h: jnp.ndarray, norm_type: Optional[str]) -> jnp.ndarray:
+    """Per-state normalization applied before the weighted sum — mirrors
+    normalize_hidden_states (method1/method2, reference
+    speech_encoder_plus.py:572-592) and the s3prl per-state LayerNorm mode
+    of WeightedSumLayer (avssl/module/weighted_sum.py:24-31)."""
+    if norm_type is None:
+        return h
+    if norm_type == "method1":
+        return h / (
+            jnp.linalg.norm(h.astype(jnp.float32), axis=-1, keepdims=True) + 1e-8
+        )
+    if norm_type == "method2":
+        return h / jnp.mean(
+            jnp.linalg.norm(h.astype(jnp.float32), axis=-1), axis=-1
+        )[:, None, None]
+    if norm_type == "s3prl":
+        return layer_norm(None, h)
+    raise NotImplementedError(norm_type)
+
+
+def _wsum_pass(
+    cfg: HubertConfig,
+    norm_type: Optional[str],
+    hubert_params: Params,
+    wav: jnp.ndarray,
+    wav_lengths: jnp.ndarray,
+    w: jnp.ndarray,  # (N,) f32 softmax weights
+    g: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """One deterministic (eval-mode) encoder pass that folds the per-state
+    weighted-sum work INTO the layer loop, so at most two hidden states are
+    live at any point instead of all N.
+
+    g=None (forward): returns the f32 weighted-sum accumulator — identical
+    accumulation order to weighted_sum_apply's unrolled chain.
+    g given (backward): returns dots (N,) f32 with dots[i] = <g, state_i> —
+    the only residual-dependent quantity the weighted-sum VJP needs; each
+    state is contracted to a scalar the moment it is produced and freed.
+    """
+    x, kpm, frame_lens = _encoder_prelude(hubert_params, cfg, wav, wav_lengths)
+    g32 = None if g is None else g.astype(jnp.float32)
+
+    def consume(i: int, h: jnp.ndarray):
+        s = _process_state(h, norm_type).astype(jnp.float32)
+        if g32 is None:
+            return w[i] * s
+        return jnp.sum(g32 * s)
+
+    acc = consume(0, x)
+    outs = [acc] if g is not None else None
+    for i, layer in enumerate(hubert_params["encoder"]["layers"]):
+        # scheduling tie: make this layer's input depend (zero-valued) on
+        # the PREVIOUS state's consumption, so XLA cannot run the whole
+        # layer chain first and only then the N consumptions — that order
+        # is exactly the N-state live set this path exists to avoid
+        # (measured: without the tie, the b256 large step still carried
+        # the ~4 GB stack in its temp buffers). One scalar-broadcast add
+        # per layer; folds into the layer's first fusion.
+        prev = acc if g is None else outs[-1]
+        tie = (prev if prev.ndim == 0 else prev[(0,) * prev.ndim]) * 0.0
+        x = x + tie.astype(x.dtype)
+        x = encoder_layer_apply(layer, cfg, x, kpm, None, False, frame_lens)
+        c = consume(i + 1, x)
+        if g is None:
+            acc = acc + c
+        else:
+            outs.append(c)
+    if g is None:
+        return acc
+    return jnp.stack(outs)
+
+
+def _frozen_wsum_primal(cfg, norm_type, ws_params, hubert_params, wav, wav_lengths):
+    w = jax.nn.softmax(ws_params["weights"].astype(jnp.float32))
+    acc = _wsum_pass(cfg, norm_type, hubert_params, wav, wav_lengths, w)
+    # match weighted_sum_apply's output dtype: the processed state dtype
+    # (f32 after method1/2 promotion, compute dtype otherwise)
+    out_dtype = wav.dtype if norm_type in (None, "s3prl") else jnp.float32
+    return acc.astype(out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _frozen_wsum(static, ws_params, hubert_params, wav, wav_lengths):
+    return _frozen_wsum_primal(*static, ws_params, hubert_params, wav, wav_lengths)
+
+
+def _frozen_wsum_fwd(static, ws_params, hubert_params, wav, wav_lengths):
+    out = _frozen_wsum_primal(*static, ws_params, hubert_params, wav, wav_lengths)
+    return out, (ws_params, hubert_params, wav, wav_lengths)
+
+
+def _frozen_wsum_bwd(static, res, g):
+    cfg, norm_type = static
+    ws_params, hubert_params, wav, wav_lengths = res
+    w = jax.nn.softmax(ws_params["weights"].astype(jnp.float32))
+    dots = _wsum_pass(cfg, norm_type, hubert_params, wav, wav_lengths, w, g=g)
+    # softmax VJP: feat = sum_i softmax(l)_i * s_i  =>
+    # dl = w * (dots - <w, dots>)
+    d_logits = w * (dots - jnp.sum(w * dots))
+    d_ws = {"weights": d_logits.astype(ws_params["weights"].dtype)}
+    d_hubert = jax.tree.map(jnp.zeros_like, hubert_params)  # frozen
+    import numpy as _np
+
+    d_wav = jnp.zeros_like(wav)
+    d_lens = _np.zeros(wav_lengths.shape, dtype=jax.dtypes.float0)
+    return d_ws, d_hubert, d_wav, d_lens
+
+
+_frozen_wsum.defvjp(_frozen_wsum_fwd, _frozen_wsum_bwd)
+
+
+def hubert_frozen_weighted_sum(
+    ws_params: Params,
+    hubert_params: Params,
+    cfg: HubertConfig,
+    wav: jnp.ndarray,
+    wav_lengths: jnp.ndarray,
+    norm_type: Optional[str] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Weighted-sum feature of a FROZEN HuBERT without keeping all N hidden
+    states live (``audio_encoder.wsum_remat``).
+
+    The standard path materializes every hidden state until the weighted sum
+    consumes them — for hubert_large at b256/6.4 s that stack alone is
+    25 x 256 x 320 x 1024 x 2B ≈ 4.2 GB and is what OOMs one v5e chip
+    (docs/DESIGN_NOTES.md, large-model budget). Here the forward folds
+    ``w_i * state_i`` into a running accumulator inside the layer loop
+    (live set: current state + accumulator) and a custom VJP recomputes the
+    deterministic frozen encoder on the backward pass, contracting each
+    state against the cotangent to a scalar as it is produced:
+    grad wrt the weighted-sum logits needs only dots_i = <g, state_i>.
+    Cost: one extra eval-mode encoder forward per step; grads are exact
+    (the frozen encoder gets zeros, matching stop_gradient semantics in
+    training/train_step.py). Only valid when the encoder is frozen — the
+    recompute assumes a deterministic (no-dropout) forward and returns no
+    encoder-weight gradients.
+
+    Replaces the reference pipeline HuBERT(no_grad) -> WeightedSumLayer
+    (speech_encoder_plus.py:558-621) at identical math.
+    """
+    feat = _frozen_wsum((cfg, norm_type), ws_params, hubert_params, wav, wav_lengths)
+    from ..ops.masking import hubert_feature_lengths
+
+    num_frames = conv_output_length(cfg, wav.shape[1])
+    feat_lens = hubert_feature_lengths(wav_lengths, cfg.downsample_rate, num_frames)
+    return feat, feat_lens
 
 
 def normalize_hidden_states(

@@ -395,6 +395,26 @@ class SpeechCLIPModel:
             # bit for PCM16 sources before the compute-dtype cast.
             wav = wav.astype(jnp.float32) * (1.0 / 32768.0)
         wav = wav.astype(self.compute_dtype)
+        select = self.config.audio_encoder.feat_select_idx
+        if (
+            select == WEIGHTED_SUM_MODE
+            and not return_hidden_states
+            and self.upstream is None
+            and not self.config.audio_encoder.get("trainable", False)
+            and self.config.audio_encoder.get("wsum_remat", False)
+        ):
+            # frozen-encoder memory path: fold the weighted sum into the
+            # layer loop + recompute on backward, so the N-state stack
+            # (the large model's b256 OOM buffer) is never live. Exact
+            # math; costs one extra frozen forward per training step.
+            return hubert.hubert_frozen_weighted_sum(
+                params["weighted_sum"],
+                params["audio_encoder"],
+                self.audio_cfg,
+                wav,
+                wav_len,
+                norm_type=self.hidden_norm_type,
+            )
         if self.upstream is not None:
             hidden_states, feat_len = self.upstream.apply(
                 params["audio_encoder"], wav, wav_len,
@@ -416,7 +436,6 @@ class SpeechCLIPModel:
                 hidden_states, self.hidden_norm_type
             )
 
-        select = self.config.audio_encoder.feat_select_idx
         if select == WEIGHTED_SUM_MODE:
             feat = weighted_sum_apply(
                 params["weighted_sum"],
