@@ -6,7 +6,10 @@ max_audio_len crop, config/.../spchclp_p.yaml:104) -> HuBERT all-hidden-states
 -> weighted sum -> branch transformer -> projection -> L2 norm -> similarity
 scores against a 5k-image gallery (Flickr8k-test scale) -> top-10.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
+Prints the result as a JSON line {"metric", "value", "unit", "vs_baseline",
+"extras"} — first the bare headline the moment it is measured, then the
+final enriched line (same schema, extras filled) when everything is done;
+parsers that take the last JSON line on stdout get the complete record.
 "extras" carries the non-flagship driver-visible numbers so regressions in
 those paths are caught round-over-round (VERDICT r1 weak #4):
   cascaded_base_utt_per_sec  — cascaded branch encode (kw attention, VQ,
@@ -17,6 +20,24 @@ those paths are caught round-over-round (VERDICT r1 weak #4):
   train_step_ms_large_*_b128 — HuBERT-large + ViT-L/14 train step (the
                                reference's 4-GPU configs), single live
                                branch, at the largest single-chip batch
+
+Driver-budget discipline (round 5 — round 4's driver bench was killed at
+~30 min mid-compile with NOTHING on stdout, BENCH_r04.json rc=124):
+  * the headline JSON line is printed (flushed) the moment it exists, BEFORE
+    any extra runs; the final enriched line is printed at the end. A caller-
+    side timeout therefore always leaves a parseable record on stdout.
+  * extras run under an internal wall-clock budget
+    (SPEECHCLIP_BENCH_BUDGET_S, default 1200 s, measured from process
+    start): before each extra, the remaining budget is checked against that
+    extra's estimated compile+run cost (_EXTRA_EST_S, tuned from measured
+    driver runs) and the extra is recorded as "SKIPPED budget (...)"
+    instead of dying mid-compile. Measured per-extra wall times are
+    recorded in extras["timings_s"] so the estimates stay honest.
+  * the large cascaded train step is OFF by default
+    (SPEECHCLIP_BENCH_LARGE_CASC=1 re-enables): it differs from large_par
+    only in the live branch, its b128 number is on record in
+    docs/DESIGN_NOTES.md, and its multi-minute remote compile was half of
+    what blew round 4's budget. The serving canary runs 3 drives (was 5).
 
 Extras methodology (VERDICT r2 weak #1/#2): each number is AMORTIZED — an
 in-graph ``lax.fori_loop`` runs AMORTIZE_ITERS step bodies per dispatch
@@ -318,7 +339,8 @@ def serving_throughput(batch=32, n_req=256, concurrency=64):
         svc.close()
 
 
-CANARY_DRIVES = 5
+CANARY_DRIVES = 3  # was 5; best-of-N needs few draws and round 4's bench
+# blew the driver budget partly on canary bring-up (VERDICT r4 weak #3)
 
 
 def _canary_drive(svc, wavs, n_req, concurrency, drive):
@@ -342,7 +364,100 @@ def _canary_drive(svc, wavs, n_req, concurrency, drive):
     return float(max(vals)), [float(min(vals)), float(max(vals))]
 
 
+# Estimated wall cost (seconds, compile + timed dispatches on the axon
+# relay) per extra — the budget gate compares these against the remaining
+# budget BEFORE starting an extra, so a slow-relay round degrades by
+# skipping loudly instead of being killed mid-compile. Tuned from measured
+# driver/builder runs (extras["timings_s"] records each round's actuals).
+_EXTRA_EST_S = {
+    "cascaded_base_utt_per_sec": 120,
+    "hubert_large_utt_per_sec": 180,
+    "train_step_ms_b256": 180,
+    "train_step_ms_b256_imgcache": 180,
+    "train_step_ms_large_par_b128": 330,
+    "train_step_ms_large_casc_b128": 390,
+    "serving_utt_per_sec_b32": 270,
+}
+
+_BENCH_LAST = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json")
+
+
+def checkpoint_result(result):
+    # the axon remote-compile latency is large and variable (minutes per
+    # graph, docs/DESIGN_NOTES.md); persist progress so a caller-side
+    # timeout still leaves the measured numbers on disk
+    with open(_BENCH_LAST, "w") as f:
+        json.dump(result, f)
+
+
+def _extras_spec():
+    """[(key, est_cost_s, fn)] for the non-headline extras, cheap first."""
+    spec = [
+        ("cascaded_base_utt_per_sec", lambda: encode_variant("base_casc")),
+        ("hubert_large_utt_per_sec", lambda: encode_variant("large_par")),
+        ("train_step_ms_b256", train_step_ms),
+        (
+            "train_step_ms_b256_imgcache",
+            lambda: train_step_ms(cache_images=True),
+        ),
+        # the large half of the shipped surface (reference 4-GPU configs)
+        # — largest single-chip batch (b256 OOMs on the plain path, probed
+        # round 4; scripts/bench_train_budget.py --variant large_*)
+        (
+            "train_step_ms_large_par_b128",
+            lambda: train_step_ms(variant="large_par", batch=128),
+        ),
+    ]
+    if os.environ.get("SPEECHCLIP_BENCH_LARGE_CASC") == "1":
+        # off by default since round 5: same towers as large_par (only the
+        # live branch differs), number on record in DESIGN_NOTES, and its
+        # remote compile was half of round 4's budget blowout
+        spec.append(
+            (
+                "train_step_ms_large_casc_b128",
+                lambda: train_step_ms(variant="large_casc", batch=128),
+            )
+        )
+    # end-to-end serving runtime (micro-batcher + jit backend) —
+    # relay-H2D-bound on this machine, still a regression canary
+    spec.append(("serving_utt_per_sec_b32", serving_throughput))
+    return [(key, _EXTRA_EST_S[key], fn) for key, fn in spec]
+
+
+def run_extras(result, extras_spec, *, budget_s, t_start, checkpoint, now=time.monotonic):
+    """Run extras under the wall-clock budget; mutates result["extras"].
+
+    Before each extra: if (budget_s - elapsed-since-t_start) is below the
+    extra's estimated cost, record "SKIPPED budget (...)" and move on —
+    later, cheaper extras still get their chance. A failing extra records
+    "FAILED ..." and never hides the headline. checkpoint(result) is called
+    after every extra so a caller-side kill keeps all finished numbers.
+    Pinned by tests/test_bench.py.
+    """
+    extras = result.setdefault("extras", {})
+    timings = extras.setdefault("timings_s", {})
+    for key, est_s, fn in extras_spec:
+        remaining = budget_s - (now() - t_start)
+        if remaining < est_s:
+            extras[key] = (
+                f"SKIPPED budget ({remaining:.0f}s left < ~{est_s:.0f}s est)"
+            )
+            checkpoint(result)
+            continue
+        t0 = now()
+        try:
+            value, minmax = fn()
+            extras[key] = round(value, 2)
+            extras[key + "_minmax"] = [round(v, 2) for v in minmax]
+        except Exception as e:  # a broken variant must not hide the headline
+            extras[key] = f"FAILED {type(e).__name__}: {str(e)[:120]}"
+        timings[key] = round(now() - t0, 1)
+        checkpoint(result)
+    return result
+
+
 def main():
+    t_start = time.monotonic()
     # fail FAST with a parseable line if the TPU tunnel is unreachable:
     # jax.devices() HANGS (no exception) during axon outages (observed
     # round 3, >90 min), which would otherwise eat the whole driver budget
@@ -374,11 +489,8 @@ def main():
             "unit": f"ERROR: TPU backend unreachable ({detail})",
             "vs_baseline": 0,
         }
-        with open(
-            os.path.join(os.path.dirname(__file__), "bench_last.json"), "w"
-        ) as f:
-            json.dump(error, f)
-        print(json.dumps(error))
+        checkpoint_result(error)
+        print(json.dumps(error), flush=True)
         sys.exit(1)
 
     # production configuration: the shipped configs set trainer.fast_rng
@@ -387,12 +499,6 @@ def main():
     import jax
 
     jax.config.update("jax_default_prng_impl", "rbg")
-    def checkpoint_result(result):
-        # the axon remote-compile latency is large and variable (minutes per
-        # graph, docs/DESIGN_NOTES.md); persist progress so a caller-side
-        # timeout still leaves the measured numbers on disk
-        with open(os.path.join(os.path.dirname(__file__), "bench_last.json"), "w") as f:
-            json.dump(result, f)
 
     utt_per_sec, headline_minmax = headline()
     result = {
@@ -402,42 +508,22 @@ def main():
         "vs_baseline": round(utt_per_sec / A100_BASELINE_UTT_PER_SEC, 3),
     }
     checkpoint_result(result)
+    # EARLY print (flushed): the driver tails stdout, so the headline must
+    # be parseable even if a caller-side timeout kills the extras below
+    print(json.dumps(result), flush=True)
     if os.environ.get("SPEECHCLIP_BENCH_HEADLINE_ONLY") != "1":
-        extras = {
+        result["extras"] = {
             "headline_minmax_s": [round(v, 4) for v in headline_minmax],
         }
-        result["extras"] = extras
-        for key, fn in [
-            ("cascaded_base_utt_per_sec", lambda: encode_variant("base_casc")),
-            ("hubert_large_utt_per_sec", lambda: encode_variant("large_par")),
-            ("train_step_ms_b256", train_step_ms),
-            (
-                "train_step_ms_b256_imgcache",
-                lambda: train_step_ms(cache_images=True),
-            ),
-            # the large half of the shipped surface (reference 4-GPU
-            # configs) — largest single-chip batch (b256 OOMs, probed
-            # round 4; scripts/bench_train_budget.py --variant large_*)
-            (
-                "train_step_ms_large_par_b128",
-                lambda: train_step_ms(variant="large_par", batch=128),
-            ),
-            (
-                "train_step_ms_large_casc_b128",
-                lambda: train_step_ms(variant="large_casc", batch=128),
-            ),
-            # end-to-end serving runtime (micro-batcher + jit backend) —
-            # relay-H2D-bound on this machine, still a regression canary
-            ("serving_utt_per_sec_b32", serving_throughput),
-        ]:
-            try:
-                value, minmax = fn()
-                extras[key] = round(value, 2)
-                extras[key + "_minmax"] = [round(v, 2) for v in minmax]
-            except Exception as e:  # a broken variant must not hide the headline
-                extras[key] = f"FAILED {type(e).__name__}: {str(e)[:120]}"
-            checkpoint_result(result)
-    print(json.dumps(result))
+        budget_s = float(os.environ.get("SPEECHCLIP_BENCH_BUDGET_S", "1200"))
+        run_extras(
+            result,
+            _extras_spec(),
+            budget_s=budget_s,
+            t_start=t_start,
+            checkpoint=checkpoint_result,
+        )
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
