@@ -552,16 +552,18 @@ def _wsum_pass(
     acc = consume(0, x)
     outs = [acc] if g is not None else None
     for i, layer in enumerate(hubert_params["encoder"]["layers"]):
-        # scheduling tie: make this layer's input depend (zero-valued) on
-        # the PREVIOUS state's consumption, so XLA cannot run the whole
-        # layer chain first and only then the N consumptions — that order
-        # is exactly the N-state live set this path exists to avoid
-        # (measured: without the tie, the b256 large step still carried
-        # the ~4 GB stack in its temp buffers). One scalar-broadcast add
-        # per layer; folds into the layer's first fusion.
+        # scheduling tie: make this layer's input depend on the PREVIOUS
+        # state's consumption, so XLA cannot run the whole layer chain
+        # first and only then the N consumptions — that order is exactly
+        # the N-state live set this path exists to avoid (measured:
+        # without the tie, the b256 large step still carried the ~4 GB
+        # stack in its temp buffers). optimization_barrier expresses the
+        # ordering as a pure scheduling edge — unlike the earlier
+        # arithmetic zero-add (x + 0*prev), an inf/NaN in the f32
+        # accumulator cannot leak into the next layer's input as 0*inf=NaN
+        # (ADVICE r4).
         prev = acc if g is None else outs[-1]
-        tie = (prev if prev.ndim == 0 else prev[(0,) * prev.ndim]) * 0.0
-        x = x + tie.astype(x.dtype)
+        x, _ = jax.lax.optimization_barrier((x, prev))
         x = encoder_layer_apply(layer, cfg, x, kpm, None, False, frame_lens)
         c = consume(i + 1, x)
         if g is None:

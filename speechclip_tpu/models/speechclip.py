@@ -174,6 +174,36 @@ class SpeechCLIPModel:
             self.hidden_norm_type = cfg.audio_encoder.get("normalize_type", "s3prl")
         else:
             self.hidden_norm_type = None
+        if cfg.audio_encoder.get("wsum_remat", False):
+            # the knob exists to avoid the large model's b256 OOM; if a gate
+            # condition statically rules the memory path out, the user gets
+            # the OOM they configured the knob to avoid — say so ONCE here
+            # instead of silently no-opping (ADVICE r4). The per-call
+            # return_hidden_states fall-through is not flagged: extracting
+            # hidden states requires materializing them by definition.
+            blockers = []
+            if cfg.audio_encoder.feat_select_idx != WEIGHTED_SUM_MODE:
+                blockers.append(
+                    f"feat_select_idx={cfg.audio_encoder.feat_select_idx!r}"
+                    " (needs 'weighted_sum')"
+                )
+            if self.upstream is not None:
+                blockers.append("a custom s3prl upstream is configured")
+            if cfg.audio_encoder.get("trainable", False):
+                blockers.append(
+                    "audio_encoder.trainable=true (the backward recompute"
+                    " assumes a frozen, deterministic encoder)"
+                )
+            if blockers:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "audio_encoder.wsum_remat is set but will NOT engage: "
+                    "%s — the N-hidden-state stack stays live and large "
+                    "batches may OOM (see models/hubert.py "
+                    "hubert_frozen_weighted_sum)",
+                    "; ".join(blockers),
+                )
         self.audio_embd_dim = self.audio_cfg.encoder_embed_dim
         self.subword_embd_dim = self.clip_cfg.text.width
         self.compute_dtype = _compute_dtype(cfg)

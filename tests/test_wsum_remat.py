@@ -197,3 +197,27 @@ def test_eval_forward_identical(tmp_path):
         np.asarray(feats[False]["cascaded_audio_feat"]),
         np.asarray(feats[True]["cascaded_audio_feat"]),
     )
+
+
+def test_gate_blockers_warn_loudly(tmp_path, caplog):
+    """wsum_remat with a statically-blocking config must WARN at model
+    construction instead of silently no-opping into the OOM the knob was
+    set to avoid (ADVICE r4). An engaging config must stay silent."""
+    import logging
+
+    cfg = tiny_speechclip_config(tmp_path)
+    cfg.audio_encoder.wsum_remat = True
+    cfg.audio_encoder.trainable = True  # blocks the memory path
+    with caplog.at_level(logging.WARNING, logger="speechclip_tpu"):
+        SpeechCLIPModel(cfg)
+    assert any(
+        "wsum_remat" in r.message and "NOT engage" in r.message
+        for r in caplog.records
+    ), caplog.records
+
+    caplog.clear()
+    cfg2 = tiny_speechclip_config(tmp_path)
+    cfg2.audio_encoder.wsum_remat = True  # frozen encoder: engages
+    with caplog.at_level(logging.WARNING, logger="speechclip_tpu"):
+        SpeechCLIPModel(cfg2)
+    assert not [r for r in caplog.records if "wsum_remat" in r.message]
