@@ -256,11 +256,19 @@ def main():
 
         f = jax.jit(multi)
         float(f(tstate, batch))
-        t0 = time.perf_counter()
-        float(f(tstate, batch))
-        dt = (time.perf_counter() - t0) / ITERS
+        # 3 timed dispatches -> median + [min, max] (same spread convention
+        # as bench.py's extras; one dispatch = ITERS in-graph steps)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(tstate, batch))
+            times.append((time.perf_counter() - t0) / ITERS)
+        dt = float(np.median(times))
         tag = f" accum={ACCUM} (micro-step)" if ACCUM > 1 else ""
-        print(f"{'step':10s} {dt*1e3:8.1f} ms/iter (amortized){tag}")
+        print(
+            f"{'step':10s} {dt*1e3:8.1f} ms/iter (amortized, median of 3)"
+            f" [{min(times)*1e3:.1f}, {max(times)*1e3:.1f}]{tag}"
+        )
 
 
 if __name__ == "__main__":
