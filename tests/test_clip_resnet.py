@@ -160,6 +160,9 @@ def test_custom_resnet_arch_without_layers_uses_rn50_defaults():
     assert resolved.vision.layers == (3, 4, 6, 3)
 
 
+@pytest.mark.slow  # 34 s (model-level RN wiring; the RN tower numerics
+# stay fast-tier via the torch-oracle parity tests above) — moved round 5
+# to hold the fast tier under 10 min (VERDICT r4 weak #6)
 def test_model_level_custom_resnet(tmp_path):
     """SpeechCLIPModel with a custom RN vision tower: construction,
     forward_image at the RN input resolution, and the trainable-image
