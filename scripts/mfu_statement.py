@@ -127,6 +127,37 @@ def build(variant):
     return SpeechCLIPModel(bench_variant_config(variant))
 
 
+def analytic_flops():
+    """Per-utterance analytic FLOPs for the three stated surfaces.
+
+    {"encode": ..., "train_b256": ..., "large_wsum_b256": ...} — the
+    numbers behind the MFU table in docs/DESIGN_NOTES.md and README.md;
+    pinned by tests/test_mfu.py so a config/model change cannot silently
+    stale the documented table."""
+    # 1) flagship encode+retrieval (bench.py headline: parallel base, b1024)
+    m = build("base_par")
+    hub, t = hubert_forward_flops(m.audio_cfg)
+    enc = hub + branch_flops(m, t, train=False) + 2 * GALLERY * m.clip_cfg.embed_dim
+
+    # 2) base train step b256, honest (both branches, ViT fwd in-step)
+    m = build("base")
+    hub, t = hubert_forward_flops(m.audio_cfg)
+    train = (
+        hub
+        + vit_forward_flops(m.clip_cfg.vision)
+        + branch_flops(m, t, train=True)
+        + 2 * 2 * 256 * m.clip_cfg.embed_dim  # logits, both directions
+    )
+
+    # 3) large_par wsum_remat b256 (image cache on: ViT absent; the wsum
+    #    custom VJP recomputes ONE extra frozen forward per step)
+    m = build("large_par")
+    hub, t = hubert_forward_flops(m.audio_cfg)
+    large = 2 * hub + branch_flops(m, t, train=True) + 2 * 2 * 256 * m.clip_cfg.embed_dim
+
+    return {"encode": enc, "train_b256": train, "large_wsum_b256": large}
+
+
 def main(argv):
     opts = {}
     it = iter(argv)
@@ -151,41 +182,24 @@ def main(argv):
             measured[k.replace("-", "_")] = opts[k]
     peak = opts.get("peak-tflops", V5E_BF16_PEAK_TFLOPS)
 
+    flops = analytic_flops()
     rows = []
-
-    # 1) flagship encode+retrieval (bench.py headline: parallel base, b1024)
-    m = build("base_par")
-    hub, t = hubert_forward_flops(m.audio_cfg)
-    enc = hub + branch_flops(m, t, train=False) + 2 * GALLERY * m.clip_cfg.embed_dim
     if measured.get("encode_utts_per_s"):
+        enc = flops["encode"]
         tf = enc * measured["encode_utts_per_s"] / 1e12
         rows.append(
             ("flagship encode+retrieval (b1024)", enc / 1e9,
              f"{measured['encode_utts_per_s']:.0f} utt/s", tf)
         )
-
-    # 2) base train step b256, honest (both branches, ViT fwd in-step)
-    m = build("base")
-    hub, t = hubert_forward_flops(m.audio_cfg)
-    step = (
-        hub
-        + vit_forward_flops(m.clip_cfg.vision)
-        + branch_flops(m, t, train=True)
-        + 2 * 2 * 256 * m.clip_cfg.embed_dim  # logits, both directions
-    )
     if measured.get("train_b256_ms"):
+        step = flops["train_b256"]
         per_utt_s = measured["train_b256_ms"] / 1e3 / 256
         rows.append(
             ("base train step b256 (honest)", step / 1e9,
              f"{measured['train_b256_ms']:.1f} ms/step", step / per_utt_s / 1e12)
         )
-
-    # 3) large_par wsum_remat b256 (image cache on: ViT absent; the wsum
-    #    custom VJP recomputes ONE extra frozen forward per step)
-    m = build("large_par")
-    hub, t = hubert_forward_flops(m.audio_cfg)
-    step = 2 * hub + branch_flops(m, t, train=True) + 2 * 2 * 256 * m.clip_cfg.embed_dim
     if measured.get("large_wsum_b256_ms"):
+        step = flops["large_wsum_b256"]
         per_utt_s = measured["large_wsum_b256_ms"] / 1e3 / 256
         rows.append(
             ("large_par train b256 wsum_remat+imgcache", step / 1e9,
