@@ -20,6 +20,12 @@ those paths are caught round-over-round (VERDICT r1 weak #4):
   train_step_ms_large_*_b128 — HuBERT-large + ViT-L/14 train step (the
                                reference's 4-GPU configs), single live
                                branch, at the largest single-chip batch
+  encode_mfu_pct /
+  train_b256_mfu_pct         — analytic-FLOP MFU of this run's headline /
+                               b256 train step vs the v5e nominal bf16
+                               peak (scripts/mfu_statement.py; zero device
+                               cost — the defensible absolute perf claim
+                               on the driver record)
 
 Driver-budget discipline (round 5 — round 4's driver bench was killed at
 ~30 min mid-compile with NOTHING on stdout, BENCH_r04.json rc=124):
@@ -424,6 +430,42 @@ def _extras_spec():
     return [(key, _EXTRA_EST_S[key], fn) for key, fn in spec]
 
 
+def mfu_extras(result):
+    """Driver-visible MFU at zero device cost: the analytic matmul/conv
+    FLOPs (scripts/mfu_statement.py — the column is pinned by
+    tests/test_mfu.py) divided by THIS run's measured headline and b256
+    train step, against the v5e nominal bf16 peak. Puts the defensible
+    absolute perf claim (docs/DESIGN_NOTES.md "MFU statement") on the
+    driver record every round, next to the assumed-constant vs_baseline."""
+    try:
+        import importlib.util
+
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "scripts",
+            "mfu_statement.py",
+        )
+        spec = importlib.util.spec_from_file_location("mfu_statement", path)
+        mfu = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mfu)
+        flops = mfu.analytic_flops()
+        peak_flops = mfu.V5E_BF16_PEAK_TFLOPS * 1e12
+        out = {}
+        v = result.get("value")
+        if isinstance(v, (int, float)) and v > 0:
+            out["encode_mfu_pct"] = round(
+                flops["encode"] * v / peak_flops * 100, 1
+            )
+        t_ms = result.get("extras", {}).get("train_step_ms_b256")
+        if isinstance(t_ms, (int, float)) and t_ms > 0:
+            out["train_b256_mfu_pct"] = round(
+                flops["train_b256"] * 256 / (t_ms / 1e3) / peak_flops * 100, 1
+            )
+        return out
+    except Exception as e:  # never let the bookkeeping hide the record
+        return {"encode_mfu_pct": f"FAILED {type(e).__name__}: {str(e)[:80]}"}
+
+
 def run_extras(result, extras_spec, *, budget_s, t_start, checkpoint, now=time.monotonic):
     """Run extras under the wall-clock budget; mutates result["extras"].
 
@@ -523,6 +565,8 @@ def main():
             t_start=t_start,
             checkpoint=checkpoint_result,
         )
+        result["extras"].update(mfu_extras(result))
+        checkpoint_result(result)
         print(json.dumps(result), flush=True)
 
 

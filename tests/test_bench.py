@@ -160,3 +160,17 @@ def test_main_prints_headline_before_extras(bench, monkeypatch, capsys):
     assert "extras" not in early
     assert final["extras"]["probe_extra"] == 42.0
     assert final["extras"]["headline_minmax_s"] == [0.9, 1.1]
+
+
+def test_mfu_extras_match_statement_script(bench):
+    """The driver-record MFU keys must agree with the published table's
+    math (scripts/mfu_statement.py, pinned by tests/test_mfu.py): at the
+    documented round-5 measurements the extras reproduce 68.8% / 58.1%."""
+    result = {"value": 1394.2, "extras": {"train_step_ms_b256": 280.0}}
+    out = bench.mfu_extras(result)
+    assert out["encode_mfu_pct"] == pytest.approx(68.8, abs=0.1)
+    assert out["train_b256_mfu_pct"] == pytest.approx(58.1, abs=0.1)
+    # headline-only records (or SKIPPED/FAILED extras) degrade gracefully
+    out = bench.mfu_extras({"value": 1394.2, "extras": {"train_step_ms_b256": "SKIPPED budget"}})
+    assert "train_b256_mfu_pct" not in out
+    assert bench.mfu_extras({"value": 0, "extras": {}}) == {}
