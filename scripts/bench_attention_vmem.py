@@ -11,12 +11,13 @@ the loop index; scalar fetch is the sync.
 Run: python scripts/bench_attention_vmem.py [BATCH [ITERS [GROUPS [H,L,DH[,causal]]]]]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 8

@@ -5,12 +5,13 @@ single-shot timings fine at >100 ms batch latencies (dispatch ~15-30 ms).
 Run: python scripts/bench_batch_scaling.py [batch chunk]...
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WAV_LEN = 102400
 GALLERY = 5000

@@ -10,12 +10,13 @@ STAGES = comma-separated subset of conv,frontend,hubert,ws,encode
 compiler is slow).
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STAGES = (sys.argv[1] if len(sys.argv) > 1 else "conv,hubert,encode").split(",")
 BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 512

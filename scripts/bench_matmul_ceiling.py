@@ -5,12 +5,13 @@ in-graph loop, to separate 'XLA matmul speed at these shapes' from
 'everything else in the layer'. Params passed as args (remote-compile 413).
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 B, T, D, F = 512, 320, 768, 3072
 ITERS = 8

@@ -9,12 +9,13 @@ Shapes: HuBERT-base encoder layer, bf16. Amortized fori_loop methodology.
 Run: python scripts/bench_mha_block.py [BATCH [ITERS [T,D,H]]]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 8

@@ -33,10 +33,11 @@ Run: python scripts/bench_serving.py [--backend jit] [--dims flagship]
 flagship/large always use the 51200/102400 bucket pair.)
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PLATFORM = None
 N_DEVICES = None

@@ -28,12 +28,13 @@ VARIANT = base (both branches, the default) | base_par | base_casc |
           trainer.cache_image_features operating point)
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANT = "base"
 REMAT = False

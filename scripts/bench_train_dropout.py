@@ -11,13 +11,14 @@ NOTE: rbg must be the FIRST variant if included (PRNG impl must be set
 before any key exists), so the script runs it in a subprocess instead.
 """
 
+import os
 import subprocess
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = (sys.argv[1] if len(sys.argv) > 1 else "base,nodrop").split(",")
 BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 256

@@ -4,12 +4,13 @@ frozen towers) on one chip at various batch / conv-chunk settings.
 Run: python scripts/bench_train_step.py [batch chunk]...
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WAV_LEN = 102400
 STEPS = 5

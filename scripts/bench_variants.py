@@ -12,12 +12,13 @@ sub-100 ms measurements.
 Run: python scripts/bench_variants.py {base_par|base_casc|large_par|large_casc} BATCH
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANT = sys.argv[1] if len(sys.argv) > 1 else "base_casc"
 BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 256

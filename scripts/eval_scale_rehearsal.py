@@ -20,12 +20,13 @@ Run: python scripts/eval_scale_rehearsal.py [--platform cpu]
 """
 
 import resource
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PLATFORM = None
 args = []

@@ -31,7 +31,7 @@ import json
 import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # TPU v5e (v5 lite) nominal peak: 197 TFLOP/s bf16 per chip (public spec;
 # jax.devices() on this machine reports "TPU v5 lite"). Override with

@@ -19,12 +19,13 @@ Run: python scripts/verify_export_tpu.py [--full] [BATCH [WAV_SAMPLES]]
 (verify-skill step; tiny ~3-8 min on the relay.)
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # --platform=cpu / --platform cpu: smoke the whole drive off-TPU (e.g.
 # during tunnel outages)

@@ -9,11 +9,12 @@ cosine ~1.0 (bf16 rounding differences only).
 Run: python scripts/verify_kernels_tpu.py [BATCH [cascaded]]
 """
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 CASCADED = len(sys.argv) > 2 and sys.argv[2] == "cascaded"

@@ -19,7 +19,14 @@ recipe the parity claim rides on, not a test that can run here.
 
 import argparse
 import logging
+import os
 import sys
+
+# runnable from any cwd (the documented usage is `python
+# scripts/verify_parity.py ...` — without this the script dir shadows the
+# repo root and speechclip_tpu is unimportable; caught by
+# tests/test_verify_parity.py)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

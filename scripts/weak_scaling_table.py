@@ -16,7 +16,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PER_DEVICE_BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 

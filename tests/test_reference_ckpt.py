@@ -98,10 +98,12 @@ def openai_clip_state_dict(cfg=TINY_CLIP, reduced_vocab_size=42):
     return sd
 
 
-@pytest.fixture
-def reference_checkpoint(tmp_path):
+def build_reference_ckpt(config):
+    """Synthetic Lightning .ckpt dict (the reference's exact state-dict
+    naming) for the given tiny config -> (ckpt, torch_modules). Shared
+    with tests/test_verify_parity.py, which drives the parity recipe over
+    a saved copy of this checkpoint."""
     torch.manual_seed(0)
-    config = tiny_speechclip_config(tmp_path)
     d = 32
     sd = {}
     for k, v in fairseq_hubert_state_dict(np.random.default_rng(0)).items():
@@ -150,6 +152,13 @@ def reference_checkpoint(tmp_path):
         "p_cls": sd["parallel_branch.cls"],
         "c_cls": sd["cascaded_branch.cls"],
     }
+    return ckpt, torch_modules
+
+
+@pytest.fixture
+def reference_checkpoint(tmp_path):
+    config = tiny_speechclip_config(tmp_path)
+    ckpt, torch_modules = build_reference_ckpt(config)
     return ckpt, config, torch_modules
 
 
