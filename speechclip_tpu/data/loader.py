@@ -97,6 +97,23 @@ class BucketedLoader:
             )
         self.buckets = list(buckets)
 
+        # bucket membership is fixed once lengths/max_audio_len/buckets are
+        # (all set above): precompute it vectorized instead of re-running an
+        # O(num_buckets x N) python scan on every __iter__ AND __len__ call
+        # (~2.4M bucket_for calls per SpokenCOCO epoch before this).
+        # searchsorted(left) == bucket_for: first bucket >= length, clamped.
+        eff = self._lengths
+        if self.max_audio_len > 0:
+            eff = np.minimum(eff, self.max_audio_len)
+        barr = np.asarray(self.buckets)
+        pos = np.minimum(
+            np.searchsorted(barr, eff, side="left"), len(barr) - 1
+        )
+        self._bucket_members = {
+            int(b): np.flatnonzero(pos == k).astype(np.int64)
+            for k, b in enumerate(self.buckets)
+        }
+
     def __len__(self) -> int:
         if self.drop_last:
             n = 0
@@ -108,19 +125,9 @@ class BucketedLoader:
             for b in self.buckets
         )
 
-    def _effective_length(self, i: int) -> int:
-        l = int(self._lengths[i])
-        if self.max_audio_len > 0:
-            l = min(l, self.max_audio_len)
-        return l
-
     def _bucket_indices(self, bucket: int) -> np.ndarray:
-        out = [
-            i
-            for i in range(len(self.dataset))
-            if bucket_for(self._effective_length(i), self.buckets) == bucket
-        ]
-        return np.asarray(out, dtype=np.int64)
+        # copy: __iter__ shuffles the returned array in place
+        return self._bucket_members[int(bucket)].copy()
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(self.seed + self.epoch)

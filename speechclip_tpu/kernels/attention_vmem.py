@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NEG_INF = float(jnp.finfo(jnp.float32).min)
+from ._sdpa_ref import _NEG_INF, masked_sdpa
 
 # VMEM cap for picking the group size: one cell holds G * (3 qkv + out)
 # blocks (bf16) + one (L, S) f32 score matrix + its bf16 copy, double
@@ -174,25 +174,9 @@ def _forward(
     return out.reshape(b, h, l, d)
 
 
-def _reference(q, k, v, lens, causal):
-    """XLA reference path (backward recompute)."""
-    d = q.shape[-1]
-    logits = jnp.einsum(
-        "bhld,bhsd->bhls", q, k, preferred_element_type=jnp.float32
-    ) / math.sqrt(d)
-    s = k.shape[2]
-    if lens is not None:
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s), 3)
-        logits = jnp.where(col < lens[:, None, None, None], logits, _NEG_INF)
-    if causal:
-        l = q.shape[2]
-        row = jax.lax.broadcasted_iota(jnp.int32, (l, s), 0)
-        colc = jax.lax.broadcasted_iota(jnp.int32, (l, s), 1)
-        logits = jnp.where((colc <= row)[None, None], logits, _NEG_INF)
-    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum(
-        "bhls,bhsd->bhld", weights, v, preferred_element_type=jnp.float32
-    ).astype(v.dtype)
+# XLA reference path (backward recompute) — shared single source of truth
+# (kernels/_sdpa_ref.py)
+_reference = masked_sdpa
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NEG_INF = float(jnp.finfo(jnp.float32).min)
+from ._sdpa_ref import _NEG_INF, masked_sdpa
 
 DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
@@ -195,25 +195,9 @@ def _flash_forward(
     return out.reshape(b, h, l_pad, d_pad)[:, :, :l, :d]
 
 
-def _reference_attention(q, k, v, lens, causal):
-    """XLA reference path (used by the backward recompute)."""
-    d = q.shape[-1]
-    logits = jnp.einsum(
-        "bhld,bhsd->bhls", q, k, preferred_element_type=jnp.float32
-    ) / math.sqrt(d)
-    s = k.shape[2]
-    if lens is not None:
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s), 3)
-        logits = jnp.where(col < lens[:, None, None, None], logits, _NEG_INF)
-    if causal:
-        l = q.shape[2]
-        row = jax.lax.broadcasted_iota(jnp.int32, (l, s), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (l, s), 1)
-        logits = jnp.where((col <= row)[None, None], logits, _NEG_INF)
-    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum(
-        "bhls,bhsd->bhld", weights, v, preferred_element_type=jnp.float32
-    ).astype(v.dtype)
+# XLA reference path (used by the backward recompute) — the shared single
+# source of truth; see kernels/_sdpa_ref.py for why it must not be copied
+_reference_attention = masked_sdpa
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

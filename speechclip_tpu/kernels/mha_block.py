@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NEG_INF = float(jnp.finfo(jnp.float32).min)
+from ._sdpa_ref import _NEG_INF, masked_sdpa
 
 # VMEM plan at T=320, D=768, bf16: weights 4.7 MB (resident), x/out blocks
 # 2x0.5 MB double-buffered, qkv 1.5 MB, per-head (T,T) f32 scores 0.4 MB,
@@ -219,23 +219,14 @@ def _layer_reference(x, w_in, b_in, w_out, b_out, ln_g, ln_b, lens, heads,
 
 
 def _reference(x, w_in, b_in, w_out, b_out, lens, heads):
-    """XLA MHA (backward recompute + interpret cross-check)."""
+    """XLA MHA (backward recompute + interpret cross-check). The SDPA core
+    is the shared single source of truth (kernels/_sdpa_ref.py)."""
     b, t, d = x.shape
     dh = d // heads
     qkv = x @ w_in.astype(x.dtype) + b_in.astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     split = lambda z: z.reshape(b, t, heads, dh).transpose(0, 2, 1, 3)
-    q, k, v = split(q), split(k), split(v)
-    logits = jnp.einsum(
-        "bhld,bhsd->bhls", q, k, preferred_element_type=jnp.float32
-    ) / math.sqrt(dh)
-    if lens is not None:
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, t), 3)
-        logits = jnp.where(col < lens[:, None, None, None], logits, _NEG_INF)
-    w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum(
-        "bhls,bhsd->bhld", w, v, preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+    out = masked_sdpa(split(q), split(k), split(v), lens)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
     return out @ w_out.astype(x.dtype) + b_out.astype(x.dtype)
 

@@ -259,7 +259,11 @@ def _resnet_init(rng: jax.Array, v: CLIPResNetVisionConfig) -> Params:
 
 
 def clip_init(rng: jax.Array, cfg: CLIPConfig) -> Params:
-    kv, kt, kc, kp, ke, kpe, ktp = jax.random.split(rng, 7)
+    # one key per independent draw — reusing a key both directly and as a
+    # split source (the pre-round-5 bug: kv seeded the visual positional
+    # embedding AND the vision blocks, kt the visual proj AND the text
+    # blocks) makes the towers' init streams statistically dependent
+    kv, kt, kc, kp, kvpe, kvproj, ke, kpe, ktp = jax.random.split(rng, 9)
     v, t = cfg.vision, cfg.text
 
     def ln(dim):
@@ -287,7 +291,7 @@ def clip_init(rng: jax.Array, cfg: CLIPConfig) -> Params:
         "class_embedding": jax.random.normal(kp, (v.width,), jnp.float32)
         * (v.width**-0.5),
         "positional_embedding": jax.random.normal(
-            kv, (grid * grid + 1, v.width), jnp.float32
+            kvpe, (grid * grid + 1, v.width), jnp.float32
         )
         * (v.width**-0.5),
         "ln_pre": ln(v.width),
@@ -296,7 +300,7 @@ def clip_init(rng: jax.Array, cfg: CLIPConfig) -> Params:
             for k in jax.random.split(kv, v.layers)
         ],
         "ln_post": ln(v.width),
-        "proj": jax.random.normal(kt, (v.width, v.output_dim), jnp.float32)
+        "proj": jax.random.normal(kvproj, (v.width, v.output_dim), jnp.float32)
         * (v.width**-0.5),
     }
     return {
@@ -620,13 +624,19 @@ def load_reduced_vocab(npy_path: str) -> ReducedVocab:
 
 
 def reduce_token_embedding(params: Params, vocab: ReducedVocab) -> Params:
-    """Swap the text token-embedding table for the reduced one; the original
-    table is kept for detokenization diagnostics (reference keeps
-    original_text_emb_weight, :81)."""
-    full = params["text"]["token_embedding"]
+    """Swap the text token-embedding table for the reduced one.
+
+    Deliberate deviation: the reference keeps the FULL 49408-row table
+    alive as ``original_text_emb_weight`` (clip_official.py:81) — a
+    registered parameter that nothing ever reads but that bloats every
+    Lightning checkpoint and DP replica by ~100-155 MB. Detokenization
+    diagnostics here use the host-side ``ReducedVocab`` maps, so the full
+    table is simply dropped after slicing (it survives in the pretrained
+    assets if ever needed)."""
     new_text = dict(params["text"])
-    new_text["token_embedding"] = full[jnp.asarray(vocab.selected_ids)]
-    new_text["original_token_embedding"] = full
+    new_text["token_embedding"] = params["text"]["token_embedding"][
+        jnp.asarray(vocab.selected_ids)
+    ]
     out = dict(params)
     out["text"] = new_text
     return out

@@ -1142,8 +1142,23 @@ def make_http_server(service: EncoderService, host: str = "0.0.0.0", port: int =
                     self._reply(200, {"features": {"image_feat": feat.tolist()}})
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
-            except Exception as exc:
+            except (ValueError, KeyError) as exc:
+                # malformed client input: bad npy/json payload, missing json
+                # keys, unknown feat name, out-of-tree gallery path
+                # (json.JSONDecodeError is a ValueError subclass)
                 self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})
+            except Exception as exc:
+                # server-side fault (backend compile failure, closed
+                # MicroBatcher during shutdown, filesystem errors): 500, so
+                # clients/load-balancers retry and alert correctly — and the
+                # internal detail goes to the server log, not the wire
+                # (these endpoints are unauthenticated)
+                import logging
+
+                logging.getLogger(__name__).exception("serving POST failed")
+                self._reply(
+                    500, {"error": f"internal error ({type(exc).__name__})"}
+                )
 
     return ThreadingHTTPServer((host, port), Handler)
 

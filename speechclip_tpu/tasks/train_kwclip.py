@@ -65,7 +65,10 @@ class TrainKWClip_GeneralTransformer(BaseTask):
 
             params, model_state, config = load_reference_checkpoint(ckpt_arg)
             reference_state = (params, model_state)
-            config.update({k: v for k, v in vars(args).items() if v is not None})
+            # CLI args are applied EXPLICITLY below (dataset_root, save_path,
+            # seed, --override) — dumping vars(args) into the config here
+            # would persist junk keys (train/eval/test flags, stale
+            # ckpt/resume paths, njobs, ...) into the run's config.yaml
             config = ConfigNode(config)
             if args.config:  # explicit YAML wins over the pickled config
                 config.merge_(load_config(args.config, overrides=args.override))

@@ -80,6 +80,13 @@ class CheckpointManager:
     # ------------------------------------------------------------------ save
     def _save_tree(self, path: str, state: Any, config: Optional[ConfigNode]):
         if os.path.exists(path):
+            # A previous async save to this path may still be committing its
+            # tmp dir — orbax stages to a sibling `<path>/state.orbax-…-tmp-*`
+            # INSIDE this directory and only drains pending ops *inside*
+            # save() (AsyncCheckpointer.save: get_temporary_path, THEN
+            # wait_until_finished), i.e. after this rmtree would already have
+            # deleted the in-flight tmp. Drain first.
+            self._ckptr.wait_until_finished()
             shutil.rmtree(path)
         if self.slim_mask is not None:
             state = dataclasses.replace(

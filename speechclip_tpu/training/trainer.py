@@ -433,6 +433,12 @@ class Trainer:
                 self.ckpt.save(
                     jax.device_get(state), step, val_metrics, self.config
                 )
+                # steps_per_sec measures the TRAIN loop: without this reset
+                # the first log of the next epoch divides log_every steps by
+                # an interval that swallowed the whole validation +
+                # checkpoint write (minutes on the axon relay), logging a
+                # spurious throughput dip every epoch
+                t_last = time.perf_counter()
         self.ckpt.wait()
         return state
 
@@ -457,6 +463,18 @@ class Trainer:
         if loader is None:
             loader = self.build_eval_loader(split)
         batch_size = loader.batch_size
+        if int(batch_size) % self.n_data != 0:
+            # same guard fit() applies to the train loader — every eval batch
+            # is padded to exactly batch_size and sharded over the data axis,
+            # so an indivisible size dies inside jax with an opaque error.
+            # (Padding to the next mesh multiple instead would put dummy rows
+            # into full batches' val_loss — see the eval_batch_size note in
+            # build_eval_loader: its magnitude is batch-size-dependent.)
+            raise ValueError(
+                f"eval batch size {batch_size} must be divisible by the "
+                f"data-mesh size {self.n_data} (set data.eval_batch_size / "
+                "data.dev_batch_size to a multiple of the device count)"
+            )
         outputs: List[Dict] = []
         agg: Dict[str, List[float]] = {}
         ragged_metrics: Dict[str, float] = {}

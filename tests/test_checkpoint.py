@@ -71,6 +71,39 @@ class TestCheckpointManager:
         cfg = load_config_from_checkpoint(str(tmp_path / "last"))
         assert cfg.x.y == 2
 
+    def test_overwrite_drains_async_save_before_rmtree(self, tmp_path, monkeypatch):
+        """Overwriting an existing checkpoint dir must drain the async
+        checkpointer BEFORE the rmtree: orbax stages the commit in a tmp dir
+        INSIDE the target (``last/state.orbax-checkpoint-tmp-*``) and only
+        waits for previous ops *inside* save() — after an unguarded rmtree
+        would already have deleted a still-committing tmp from the previous
+        epoch's save, corrupting ``last`` (the resume="auto" checkpoint)."""
+        import shutil as _shutil
+
+        mgr = CheckpointManager(str(tmp_path))
+        mgr.save(make_state(1), 1, {}, None)
+
+        events = []
+        real_wait = mgr._ckptr.wait_until_finished
+        real_rmtree = _shutil.rmtree
+
+        def spy_wait():
+            events.append("wait")
+            real_wait()
+
+        def spy_rmtree(*a, **k):
+            events.append("rmtree")
+            real_rmtree(*a, **k)
+
+        monkeypatch.setattr(mgr._ckptr, "wait_until_finished", spy_wait)
+        monkeypatch.setattr(
+            "speechclip_tpu.training.checkpoint.shutil.rmtree", spy_rmtree
+        )
+        mgr.save(make_state(2), 2, {}, None)
+        mgr.wait()
+        assert "rmtree" in events, "overwrite path not exercised"
+        assert events.index("wait") < events.index("rmtree")
+
     def test_index_survives_reload(self, tmp_path):
         mgr = CheckpointManager(str(tmp_path))
         mgr.save(make_state(1), 1, {"val_loss": 9.0}, None)

@@ -171,6 +171,26 @@ class TestLoader:
         assert total == len(ds)
         assert len(loader) >= 2
 
+    def test_bucket_membership_matches_bucket_for(self, flickr_root):
+        """The vectorized precomputed membership (searchsorted in __init__)
+        must equal a brute-force bucket_for scan — including the
+        max_audio_len clamp and the clamp-to-largest-bucket tail."""
+        from speechclip_tpu.data.loader import bucket_for
+
+        ds = FlickrDataset(str(flickr_root), ["audio"], split="train")
+        # train=True: eval loaders discard max_audio_len (crop is a
+        # train-time augmentation), and the clamp path is what we pin here
+        loader = BucketedLoader(
+            ds, batch_size=4, train=True, max_audio_len=8000, num_workers=2
+        )
+        for b in loader.buckets:
+            expect = [
+                i
+                for i in range(len(ds))
+                if bucket_for(min(ds.wav_length(i), 8000), loader.buckets) == b
+            ]
+            assert loader._bucket_indices(b).tolist() == expect
+
     def test_make_buckets_multiples(self):
         lengths = np.random.default_rng(0).integers(1000, 100000, 500)
         buckets = make_buckets(lengths, max_len=102400)

@@ -499,6 +499,23 @@ class TestHTTPServer:
         conn.close()
         assert resp.status == 400 and "error" in body
 
+    def test_server_fault_is_500_without_detail(
+        self, service, http_service, monkeypatch
+    ):
+        """A server-side fault (backend death, shutdown race) must map to
+        500 — not 400, which clients/load-balancers read as their own bad
+        request — and must not leak the internal message to the wire."""
+
+        def boom(wav):
+            raise RuntimeError("secret internal state: /etc/creds")
+
+        monkeypatch.setattr(service, "encode_speech", boom)
+        wav = np.zeros(1000, np.float32)
+        status, body = self._post_npy(http_service, "/encode_speech", wav)
+        assert status == 500, body
+        assert "RuntimeError" in body["error"]
+        assert "secret" not in body["error"]
+
 
 class TestDriveRequests:
     """The shared bench load-generator (serving.drive_requests) must be

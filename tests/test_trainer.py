@@ -182,6 +182,22 @@ class TestEvalSplitSelection:
         del trainer.config.data["eval_batch_size"]
 
 
+    def test_eval_batch_size_must_divide_mesh(self, trainer_config, tokenizer):
+        """An eval batch size indivisible by the data-mesh size must fail
+        with the same clear up-front error fit() gives for the train loader
+        — not an opaque jax sharding error on the first eval batch (every
+        eval batch is padded to exactly batch_size and sharded)."""
+        trainer = Trainer(trainer_config, tokenizer=tokenizer)
+        if trainer.n_data == 1:
+            pytest.skip("needs a multi-device data mesh")
+        trainer.config.data.eval_batch_size = trainer.n_data + 1
+        try:
+            with pytest.raises(ValueError, match="divisible by the data-mesh"):
+                trainer.validate(None)  # raises before state is touched
+        finally:
+            del trainer.config.data["eval_batch_size"]
+
+
 class TestTrainerEndToEnd:
     @pytest.mark.slow
     def test_fit_validate_checkpoint_resume(self, trainer_config, tokenizer, monkeypatch):
