@@ -58,6 +58,13 @@ bool read_wav(const char* path, WavData* out) {
     uint32_t size;
     if (std::fread(id, 1, 4, f) != 4 || std::fread(&size, 4, 1, f) != 1) break;
     if (std::memcmp(id, "fmt ", 4) == 0) {
+      // a PCM fmt chunk is >= 16 bytes (we index fmt[0..15]); a corrupt
+      // smaller size would read past the heap buffer, a corrupt huge one
+      // would throw bad_alloc inside a worker thread (-> std::terminate)
+      if (size < 16 || size > (1u << 20)) {
+        std::fclose(f);
+        return false;
+      }
       std::vector<uint8_t> fmt(size);
       if (std::fread(fmt.data(), 1, size, f) != size) break;
       audio_format = fmt[0] | (fmt[1] << 8);
@@ -66,6 +73,10 @@ bool read_wav(const char* path, WavData* out) {
                     (uint32_t(fmt[7]) << 24);
       bits = fmt[14] | (fmt[15] << 8);
     } else if (std::memcmp(id, "data", 4) == 0) {
+      if (size > (1u << 30)) {  // >1 GiB "data" in a speech corpus: corrupt
+        std::fclose(f);
+        return false;
+      }
       data.resize(size);
       if (std::fread(data.data(), 1, size, f) != size) {
         std::fclose(f);
@@ -77,8 +88,12 @@ bool read_wav(const char* path, WavData* out) {
     }
   }
   std::fclose(f);
+  // bits gate BEFORE the bits/8 division: a malformed bits value in 0..7
+  // would otherwise divide by zero (SIGFPE kills the whole process from a
+  // worker thread — the contract is "return the failed index, caller falls
+  // back to the Python reader")
   if (audio_format != 1 /*PCM*/ || channels == 0 || sample_rate == 0 ||
-      data.empty())
+      data.empty() || (bits != 8 && bits != 16 && bits != 32))
     return false;
 
   const size_t bytes_per = bits / 8;
@@ -197,6 +212,10 @@ int wavio_num_samples(const char* path, int target_sr) {
     uint32_t size;
     if (std::fread(id, 1, 4, f) != 4 || std::fread(&size, 4, 1, f) != 1) break;
     if (std::memcmp(id, "fmt ", 4) == 0) {
+      if (size < 16 || size > (1u << 20)) {  // see read_wav
+        std::fclose(f);
+        return -1;
+      }
       std::vector<uint8_t> fmt(size);
       if (std::fread(fmt.data(), 1, size, f) != size) break;
       channels = fmt[2] | (fmt[3] << 8);
@@ -211,7 +230,10 @@ int wavio_num_samples(const char* path, int target_sr) {
     }
   }
   std::fclose(f);
-  if (!channels || !bits || !sample_rate) return -1;
+  // same bits gate as read_wav: bits in 1..7 would divide by zero below
+  if (!channels || !sample_rate ||
+      (bits != 8 && bits != 16 && bits != 32))
+    return -1;
   long n = long(data_size) / (bits / 8) / channels;
   if (int(sample_rate) == target_sr) return int(n);
   return int(double(n) * target_sr / sample_rate + 0.5);

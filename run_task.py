@@ -14,7 +14,20 @@ def main():
 
     from speechclip_tpu import tasks
 
-    runner = getattr(tasks, args.task)()
+    runner_cls = getattr(tasks, args.task, None)
+    if runner_cls is None:
+        # the task name must be the FIRST argument (reference contract);
+        # with flags first, argparse binds a flag's value to the `task`
+        # positional (e.g. `--config cfg.yaml Task` -> task='cfg.yaml') —
+        # fail with usage instead of an AttributeError on a yaml path
+        valid = ", ".join(
+            n for n in tasks.__all__ if n != "BaseTask"
+        )
+        parser.error(
+            f"unknown task {args.task!r} — the task name must come first: "
+            f"run_task.py TASK [--flags]; available tasks: {valid}"
+        )
+    runner = runner_cls()
     task_parser = argparse.ArgumentParser()
     task_parser.add_argument("task", type=str)
     runner.add_args(task_parser)

@@ -19,7 +19,6 @@ import sys
 import tempfile
 import time
 
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -49,13 +48,8 @@ def main():
     with open(os.path.join(corpus, "Flickr_8k.devImages.txt"), "w") as f:
         f.write("\n".join(names))
 
-    rng = np.random.default_rng(3)
-    others = rng.choice(np.arange(1, 49406), size=509, replace=False)
-    ids = np.concatenate([[0, others[0], 49406, 49407], others[1:]])
-    vocab_npy = os.path.join(work, "vocab_byfreq.npy")
-    np.save(
-        vocab_npy,
-        np.stack([ids, np.arange(len(ids), 0, -1)], axis=1).astype(np.int64),
+    vocab_npy = e2e.write_synthetic_vocab(
+        os.path.join(work, "vocab_byfreq.npy")
     )
     cfg_path = os.path.join(work, "config.yaml")
     write_config(cfg_path, corpus, os.path.join(work, "exp"), vocab_npy)
@@ -72,8 +66,11 @@ def main():
     if U8:
         # ship uint8 over the interconnect; resize+normalize on device
         config.data.dataset.on_device_preprocess = True
-    if IMGCACHE:
-        config.trainer.cache_image_features = True
+    # ALWAYS set explicitly: write_config (shared with e2e_tpu_train)
+    # hardcodes cache_image_features: True into the generated yaml, so
+    # gating only the True case made the flag a no-op — the "uncached"
+    # baseline silently measured the cached path
+    config.trainer.cache_image_features = bool(IMGCACHE)
     trainer = Trainer(config)
     state = create_train_state(
         trainer.model, trainer.tx, jax.random.key(0)

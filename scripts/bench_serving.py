@@ -47,26 +47,32 @@ DTYPE = None
 COMPACT_WAV = False
 MAX_WAIT_MS = 8.0
 args = []
+def _flagval(it, flag):
+    try:
+        return next(it)
+    except StopIteration:
+        raise SystemExit(f"{flag} requires a value")
+
 _argv = iter(sys.argv[1:])
 for a in _argv:
     if a.startswith("--platform="):
         PLATFORM = a.split("=", 1)[1]
     elif a == "--platform":
-        PLATFORM = next(_argv, None)
+        PLATFORM = _flagval(_argv, "--platform")
     elif a.startswith("--devices="):
         N_DEVICES = int(a.split("=", 1)[1])
     elif a == "--devices":
-        N_DEVICES = int(next(_argv))
+        N_DEVICES = int(_flagval(_argv, "--devices"))
     elif a.startswith("--backend="):
         BACKEND = a.split("=", 1)[1]
     elif a == "--backend":
-        BACKEND = next(_argv)
+        BACKEND = _flagval(_argv, "--backend")
     elif a.startswith("--dims="):
         DIMS = a.split("=", 1)[1]
     elif a == "--dims":
-        DIMS = next(_argv)
+        DIMS = _flagval(_argv, "--dims")
     elif a == "--dtype":
-        DTYPE = next(_argv)
+        DTYPE = _flagval(_argv, "--dtype")
     elif a.startswith("--dtype="):
         DTYPE = a.split("=", 1)[1]
     elif a == "--compact-wav":
@@ -74,7 +80,7 @@ for a in _argv:
     elif a.startswith("--max-wait-ms="):
         MAX_WAIT_MS = float(a.split("=", 1)[1])
     elif a == "--max-wait-ms":
-        MAX_WAIT_MS = float(next(_argv))
+        MAX_WAIT_MS = float(_flagval(_argv, "--max-wait-ms"))
     elif a.startswith("--"):
         raise SystemExit(
             f"unknown flag {a!r} "

@@ -43,12 +43,18 @@ WSUM_REMAT = False
 IMGCACHE = False
 CONV_CHUNK = 0  # 0 = the default min(BATCH, 256)
 args = []
+def _flagval(it, flag):
+    try:
+        return next(it)
+    except StopIteration:
+        raise SystemExit(f"{flag} requires a value")
+
 _argv = iter(sys.argv[1:])
 for a in _argv:
     if a.startswith("--variant="):
         VARIANT = a.split("=", 1)[1]
     elif a == "--variant":
-        VARIANT = next(_argv)
+        VARIANT = _flagval(_argv, "--variant")
     elif a == "--remat":
         REMAT = True
     elif a == "--wsum-remat":
@@ -63,11 +69,11 @@ for a in _argv:
     elif a.startswith("--accum="):
         ACCUM = int(a.split("=", 1)[1])
     elif a == "--accum":
-        ACCUM = int(next(_argv))
+        ACCUM = int(_flagval(_argv, "--accum"))
     elif a.startswith("--conv-chunk="):
         CONV_CHUNK = int(a.split("=", 1)[1])
     elif a == "--conv-chunk":
-        CONV_CHUNK = int(next(_argv))
+        CONV_CHUNK = int(_flagval(_argv, "--conv-chunk"))
     elif a.startswith("--"):
         raise SystemExit(
             f"unknown flag {a!r} (valid: --variant, --remat, --wsum-remat,"

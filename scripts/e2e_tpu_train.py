@@ -78,6 +78,19 @@ def write_corpus(root):
         f.write("\n".join(f"{n}.jpg" for n in names[n_tr + 8 :]))
 
 
+def write_synthetic_vocab(path):
+    """Synthetic reduced-vocab table with the SHIPPED pad/SOT/EOT row
+    layout ([0, <other>, 49406, 49407, rest...] — the single place this
+    convention is encoded for the TPU drive scripts; bench_eval_loop
+    imports it rather than carrying a copy that could drift)."""
+    rng = np.random.default_rng(3)
+    others = rng.choice(np.arange(1, 49406), size=509, replace=False)
+    ids = np.concatenate([[0, others[0], 49406, 49407], others[1:]])
+    freq = np.arange(len(ids), 0, -1)
+    np.save(path, np.stack([ids, freq], axis=1).astype(np.int64))
+    return path
+
+
 def write_config(path, dataset_root, exp_dir, vocab_npy):
     import yaml
 
@@ -191,13 +204,7 @@ def main():
     print("corpus at", corpus, flush=True)
     write_corpus(corpus)
 
-    # synthetic reduced-vocab table with the shipped pad/SOT/EOT row layout
-    rng = np.random.default_rng(3)
-    others = rng.choice(np.arange(1, 49406), size=509, replace=False)
-    ids = np.concatenate([[0, others[0], 49406, 49407], others[1:]])
-    freq = np.arange(len(ids), 0, -1)
-    vocab_npy = os.path.join(work, "vocab_byfreq.npy")
-    np.save(vocab_npy, np.stack([ids, freq], axis=1).astype(np.int64))
+    vocab_npy = write_synthetic_vocab(os.path.join(work, "vocab_byfreq.npy"))
 
     cfg_path = os.path.join(work, "config.yaml")
     write_config(cfg_path, corpus, exp, vocab_npy)

@@ -163,7 +163,10 @@ def main(argv):
     it = iter(argv)
     for a in it:
         if a.startswith("--"):
-            opts[a[2:]] = float(next(it))
+            try:
+                opts[a[2:]] = float(next(it))
+            except StopIteration:
+                raise SystemExit(f"{a} requires a value")
 
     measured = {}
     bench_last = os.path.join(

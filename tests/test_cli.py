@@ -99,6 +99,23 @@ def run_cli(*args):
     )
 
 
+class TestDispatchErrors:
+    def test_flags_before_task_is_a_usage_error(self):
+        """`run_task.py --config x.yaml Task` binds 'x.yaml' to the task
+        positional (argparse parse_known_args semantics, same as the
+        reference dispatcher) — it must die with a usage error naming the
+        task-first contract, not an AttributeError on a yaml path."""
+        result = subprocess.run(
+            [sys.executable, "run_task.py", "--config", "x.yaml",
+             "TrainKWClip_GeneralTransformer", "--train"],
+            capture_output=True, text=True, cwd=REPO, timeout=120,
+        )
+        assert result.returncode == 2, (result.returncode, result.stderr)
+        assert "task name must come first" in result.stderr
+        assert "TrainKWClip_GeneralTransformer" in result.stderr
+        assert "AttributeError" not in result.stderr
+
+
 @pytest.mark.slow
 class TestCLI:
     def test_train_then_test(self, cli_setup):

@@ -46,6 +46,40 @@ class TestNativeWavio:
         with pytest.raises(RuntimeError):
             native.decode_wav_batch([str(tmp_path / "nope.wav")], max_len=100)
 
+    def test_malformed_wavs_fail_cleanly_not_crash(self, tmp_path):
+        """Corrupt headers must come back as the failed-index error (the
+        documented contract: caller falls back to the Python reader) — a
+        bits_per_sample in 1..7 used to divide by zero (SIGFPE killing the
+        process from a worker thread) and an fmt chunk smaller than 16
+        bytes used to read past its heap buffer."""
+        import struct
+
+        def wav_with(fmt_payload, data_payload=b"\x00" * 64):
+            chunks = b"fmt " + struct.pack("<I", len(fmt_payload)) + fmt_payload
+            if len(fmt_payload) % 2:
+                chunks += b"\x00"
+            chunks += b"data" + struct.pack("<I", len(data_payload)) + data_payload
+            return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+        def pcm_fmt(bits, channels=1, rate=16000):
+            block = max(bits // 8, 1) * channels
+            return struct.pack(
+                "<HHIIHH", 1, channels, rate, rate * block, block, bits
+            )
+
+        cases = {
+            "bits4.wav": wav_with(pcm_fmt(4)),   # bits/8 == 0: was SIGFPE
+            "bits0.wav": wav_with(pcm_fmt(0)),
+            "shortfmt.wav": wav_with(b"\x01\x00\x00\x00"),  # fmt size 4: OOB
+        }
+        for name, blob in cases.items():
+            p = tmp_path / name
+            p.write_bytes(blob)
+            with pytest.raises(RuntimeError):
+                native.decode_wav_batch([str(p)], max_len=100)
+            with pytest.raises(RuntimeError, match="header probe failed"):
+                native.wav_num_samples(str(p))
+
     def test_stereo_downmix(self, tmp_path):
         import wave
 
