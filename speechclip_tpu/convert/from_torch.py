@@ -22,7 +22,7 @@ dynamics of a module every shipped config freezes).
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Optional
+from typing import Dict, Mapping
 
 import numpy as np
 
@@ -86,7 +86,7 @@ def _fold_weight_norm(v: Array, g: Array) -> Array:
     return (g.reshape(1, 1, -1) * v / np.maximum(norm, 1e-12)).astype(np.float32)
 
 
-def _pos_conv(sd: Mapping, prefix: str, bias_key: Optional[str] = None) -> Dict:
+def _pos_conv(sd: Mapping, prefix: str) -> Dict:
     """Handles fairseq `weight_g/weight_v`, torch>=2.1 parametrizations, and
     plain `weight`."""
     if f"{prefix}.weight_v" in sd:
@@ -101,7 +101,7 @@ def _pos_conv(sd: Mapping, prefix: str, bias_key: Optional[str] = None) -> Dict:
         w = _t(sd[f"{prefix}.weight"])
     # torch conv1d (out, in/groups, k) -> WIO (k, in/groups, out)
     w = w.transpose(2, 1, 0)
-    b = _t(sd[f"{bias_key or prefix + '.bias'}"])
+    b = _t(sd[f"{prefix}.bias"])
     return {"w": jnp.asarray(w), "b": jnp.asarray(b)}
 
 

@@ -39,6 +39,71 @@ def _sub_dict(sd: Mapping, prefix: str) -> Dict:
     return {k[plen:]: v for k, v in sd.items() if k.startswith(prefix)}
 
 
+# --------------------------------------------------------------- unpickling
+# A RELEASED checkpoint's hyper_parameters pickle references classes from
+# packages that are not (and must not be) runtime dependencies here:
+# pytorch_lightning.utilities.parsing.AttributeDict wraps the config, and
+# the config itself is an avssl OrderedNamespace tree
+# (avssl/base/ordered_namespace.py:7-63 — state is an `_odict` OrderedDict
+# whose values are nested OrderedNamespace instances). A plain torch.load
+# would die with ModuleNotFoundError; the tolerant unpickler below resolves
+# unimportable classes to generated dict-subclass stubs (pickle's protocol-2
+# reconstruction fills either the stub's dict items or its __dict__), and
+# _as_plain_config() flattens the result back to nested plain dicts.
+
+_STUB_CLASSES: Dict = {}
+
+
+def _stub_class(module: str, name: str):
+    key = (module, name)
+    if key not in _STUB_CLASSES:
+        _STUB_CLASSES[key] = type(
+            name, (dict,), {"__module__": module, "_ckpt_stub": True}
+        )
+    return _STUB_CLASSES[key]
+
+
+def _tolerant_pickle_module():
+    import pickle
+    import types
+
+    class TolerantUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                return _stub_class(module, name)
+
+    # a real ModuleType: torch.load inspects pickle_module.__name__
+    mod = types.ModuleType("speechclip_tpu_tolerant_pickle")
+    mod.Unpickler = TolerantUnpickler
+    mod.load = lambda f, **kw: TolerantUnpickler(f, **kw).load()
+    mod.loads = pickle.loads
+    mod.dumps = pickle.dumps
+    mod.HIGHEST_PROTOCOL = pickle.HIGHEST_PROTOCOL
+    return mod
+
+
+def _as_plain_config(obj):
+    """Recursively flatten the unpickled reference config to plain dicts.
+
+    Handles: OrderedNamespace(-stub) trees (the data lives in
+    ``__dict__['_odict']``, NOT in the mapping surface — the pre-round-5
+    ``cfg_obj.__dict__`` extraction produced ``{'_odict': ...}`` and every
+    nested get_path lookup silently fell back to its default), Lightning
+    AttributeDict (a dict subclass), argparse/SimpleNamespace, lists."""
+    state = getattr(obj, "__dict__", None)
+    if isinstance(state, dict) and "_odict" in state:
+        obj = state["_odict"]
+    if isinstance(obj, Mapping):
+        return {k: _as_plain_config(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_as_plain_config(v) for v in obj]
+    if state and type(obj).__module__ in ("argparse", "types"):
+        return {k: _as_plain_config(v) for k, v in vars(obj).items()}
+    return obj
+
+
 def _branch_transformer(sd: Mapping, transformer_type: str, n_layers: int) -> Dict:
     if transformer_type == "MultiheadAttentionAndNorm":
         return {
@@ -83,10 +148,15 @@ def convert_reference_checkpoint(
     sd = checkpoint["state_dict"]
     if config is None:
         hp = checkpoint.get("hyper_parameters", {})
-        cfg_obj = hp.get("config", hp)
-        config = ConfigNode(
-            cfg_obj if isinstance(cfg_obj, Mapping) else cfg_obj.__dict__
-        )
+        hp = _as_plain_config(hp)
+        cfg_obj = hp.get("config", hp) if isinstance(hp, Mapping) else hp
+        if not isinstance(cfg_obj, Mapping):
+            raise ValueError(
+                "could not recover a config mapping from the checkpoint's "
+                f"hyper_parameters (got {type(cfg_obj).__name__}); pass "
+                "config= explicitly"
+            )
+        config = ConfigNode(cfg_obj)
 
     hubert_cfg, clip_cfg = resolve_tower_configs(config)
 
@@ -229,8 +299,17 @@ def convert_reference_checkpoint(
 
 
 def load_reference_checkpoint(path: str, config: ConfigNode | None = None):
-    """torch.load the Lightning .ckpt and convert."""
+    """torch.load the Lightning .ckpt and convert.
+
+    Uses the tolerant unpickler: released checkpoints pickle
+    pytorch_lightning/avssl classes in hyper_parameters, and neither
+    package is installed here (see _tolerant_pickle_module)."""
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = torch.load(
+        path,
+        map_location="cpu",
+        weights_only=False,
+        pickle_module=_tolerant_pickle_module(),
+    )
     return convert_reference_checkpoint(ckpt, config)

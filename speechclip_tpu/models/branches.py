@@ -123,6 +123,24 @@ def _project_keywords(
     return linear(params["proj"]["linear"], keywords)
 
 
+def _prepend_cls(params, audio_feat, audio_len):
+    """The shared preamble of every branch entry point: broadcast the
+    learnable cls rows over the batch, prepend them to the audio features,
+    and build the key-padding mask. The cls count comes from the stored
+    shape — K keywords for the cascaded branch, 1 for parallel — so one
+    helper serves all former copies of this block.
+    -> (src (B, K+T, D), key_padding_mask (B, K+T))."""
+    bsz, t, _ = audio_feat.shape
+    kw_num = params["cls"].shape[1]
+    cls = jnp.broadcast_to(
+        params["cls"].astype(audio_feat.dtype),
+        (bsz,) + params["cls"].shape[1:],
+    )
+    src = jnp.concatenate([cls, audio_feat], axis=1)
+    kpm = key_padding_mask(audio_len + kw_num, t + kw_num)
+    return src, kpm
+
+
 def cascaded_branch_apply(
     params: Params,
     state: Params,
@@ -146,11 +164,7 @@ def cascaded_branch_apply(
     else:
         r_tr = r_proj = r_vq = None
 
-    cls = jnp.broadcast_to(
-        params["cls"].astype(audio_feat.dtype), (bsz,) + params["cls"].shape[1:]
-    )
-    src = jnp.concatenate([cls, audio_feat], axis=1)
-    kpm = key_padding_mask(audio_len + kw_num, t + kw_num)
+    src, kpm = _prepend_cls(params, audio_feat, audio_len)
 
     out = branch_transformer_apply(
         params["transformer"],
@@ -219,11 +233,7 @@ def cascaded_branch_hidden_states(
     (reference extract_hidden_states :828-855)."""
     bsz, t, _ = audio_feat.shape
     kw_num = branch_cfg.keyword.number
-    cls = jnp.broadcast_to(
-        params["cls"].astype(audio_feat.dtype), (bsz,) + params["cls"].shape[1:]
-    )
-    src = jnp.concatenate([cls, audio_feat], axis=1)
-    kpm = key_padding_mask(audio_len + kw_num, t + kw_num)
+    src, kpm = _prepend_cls(params, audio_feat, audio_len)
     hiddens = branch_transformer_hidden_states(
         params["transformer"],
         branch_cfg.transformer_type,
@@ -246,11 +256,7 @@ def project_keywords_for_visualization(
     (kwClip.py:951-973)."""
     bsz, t, _ = audio_feat.shape
     kw_num = branch_cfg.keyword.number
-    cls = jnp.broadcast_to(
-        params["cls"].astype(audio_feat.dtype), (bsz,) + params["cls"].shape[1:]
-    )
-    src = jnp.concatenate([cls, audio_feat], axis=1)
-    kpm = key_padding_mask(audio_len + kw_num, t + kw_num)
+    src, kpm = _prepend_cls(params, audio_feat, audio_len)
     out = branch_transformer_apply(
         params["transformer"],
         branch_cfg.transformer_type,
@@ -285,11 +291,7 @@ def cascaded_branch_attention_map(
     assert branch_cfg.transformer_type == "MultiheadAttentionAndNorm"
     bsz, t, _ = audio_feat.shape
     kw_num = branch_cfg.keyword.number
-    cls = jnp.broadcast_to(
-        params["cls"].astype(audio_feat.dtype), (bsz,) + params["cls"].shape[1:]
-    )
-    src = jnp.concatenate([cls, audio_feat], axis=1)
-    kpm = key_padding_mask(audio_len + kw_num, t + kw_num)
+    src, kpm = _prepend_cls(params, audio_feat, audio_len)
     _, weights = mha_and_norm_apply(
         params["transformer"],
         src,
@@ -329,9 +331,7 @@ def parallel_branch_apply(
 ) -> jnp.ndarray:
     """-> (B, out_dim). Mirrors reference KW_ParallelBranch.forward :1076-1108."""
     bsz, t, d = audio_feat.shape
-    cls = jnp.broadcast_to(params["cls"].astype(audio_feat.dtype), (bsz, 1, d))
-    src = jnp.concatenate([cls, audio_feat], axis=1)
-    kpm = key_padding_mask(audio_len + 1, t + 1)
+    src, kpm = _prepend_cls(params, audio_feat, audio_len)
     out = branch_transformer_apply(
         params["transformer"],
         branch_cfg.transformer_type,
@@ -356,9 +356,7 @@ def parallel_branch_hidden_states(
 ) -> Tuple[jnp.ndarray, ...]:
     """(reference extract_hidden_states :1049-1074)"""
     bsz, t, d = audio_feat.shape
-    cls = jnp.broadcast_to(params["cls"].astype(audio_feat.dtype), (bsz, 1, d))
-    src = jnp.concatenate([cls, audio_feat], axis=1)
-    kpm = key_padding_mask(audio_len + 1, t + 1)
+    src, kpm = _prepend_cls(params, audio_feat, audio_len)
     hiddens = branch_transformer_hidden_states(
         params["transformer"],
         branch_cfg.transformer_type,

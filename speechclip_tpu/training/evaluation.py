@@ -118,8 +118,16 @@ def detokenize_keywords(
                 np.linalg.norm(flat, axis=-1, keepdims=True), 1e-8
             )
             scores = fn @ emb_norm.T
-        top_idx = np.argsort(-scores, axis=-1)[:, :k_neighbors]
-        top_val = np.take_along_axis(scores, top_idx, axis=-1)
+        # partition-then-sort (the reference's torch.topk): a full argsort
+        # over the vocab axis is O(V log V) per row — minutes of host time
+        # per SpokenCOCO validation epoch (200k rows x V up to 49k) where
+        # partitioning costs seconds. Order of the k kept entries matches.
+        k = min(k_neighbors, scores.shape[-1])
+        part = np.argpartition(-scores, k - 1, axis=-1)[:, :k]
+        part_val = np.take_along_axis(scores, part, axis=-1)
+        order = np.argsort(-part_val, axis=-1)
+        top_idx = np.take_along_axis(part, order, axis=-1)
+        top_val = np.take_along_axis(part_val, order, axis=-1)
         top_idx = top_idx.reshape(bsz, kw_num, k_neighbors)
         top_val = top_val.reshape(bsz, kw_num, k_neighbors)
 

@@ -117,7 +117,19 @@ def make_eval_step(model: SpeechCLIPModel):
     """-> eval_step(state, batch) -> features + losses for the retrieval
     epoch logic (reference validation_step :193-230)."""
 
-    audio_src = model.config.get_path("retrieval.audio_feat_src", "parallel")
+    # default to a branch the model actually HAS: a cascaded-only model
+    # with no retrieval.audio_feat_src key used to inherit "parallel",
+    # put None in out["audio_feat"], and crash far away in the trainer's
+    # feature collection with a cryptic TypeError
+    default_src = "parallel" if model.use_parallel else "cascaded"
+    audio_src = model.config.get_path("retrieval.audio_feat_src", default_src)
+    have = {"parallel": model.use_parallel, "cascaded": model.use_cascaded}
+    if not have.get(audio_src):
+        raise ValueError(
+            f"retrieval.audio_feat_src={audio_src!r} but the model has no "
+            f"{audio_src} branch (objective weights enable: "
+            f"{[k for k, v in have.items() if v]})"
+        )
 
     def eval_step(state: TrainState, batch: Dict) -> Dict:
         loss_feats, log_metrics, others, _ = model.forward(

@@ -260,6 +260,82 @@ class TestReferenceCheckpointConversion:
         assert others["keywords"].shape == (2, 4, 32)
 
 
+def test_released_ckpt_unpickles_without_avssl_or_lightning(tmp_path):
+    """A REAL released checkpoint's hyper_parameters pickle references
+    pytorch_lightning.utilities.parsing.AttributeDict wrapping an avssl
+    OrderedNamespace config tree — neither package is installed here. The
+    tolerant unpickler must resolve them to stubs and _as_plain_config must
+    flatten the OrderedNamespace state (which lives in __dict__['_odict'],
+    NOT on the mapping surface) back to nested plain dicts, so get_path
+    sees the checkpoint's real values instead of silently falling back to
+    defaults (or crashing at torch.load with ModuleNotFoundError).
+
+    Faithfulness: the fixture SAVES through clone classes registered under
+    the real module paths, then REMOVES them before loading."""
+    import sys
+    import types
+    from collections import OrderedDict
+
+    from speechclip_tpu.convert.reference_ckpt import (
+        load_reference_checkpoint,
+    )
+
+    fake_names = [
+        "avssl", "avssl.base", "avssl.base.ordered_namespace",
+        "pytorch_lightning", "pytorch_lightning.utilities",
+        "pytorch_lightning.utilities.parsing",
+    ]
+    assert all(n not in sys.modules for n in fake_names)
+
+    class OrderedNamespace:  # state layout per avssl/base/ordered_namespace.py
+        def __init__(self, data):
+            object.__setattr__(self, "_odict", OrderedDict())
+            for k, v in data.items():
+                self._odict[k] = (
+                    OrderedNamespace(v) if isinstance(v, dict) else v
+                )
+
+        def __setattr__(self, key, val):
+            self._odict[key] = val
+
+    class AttributeDict(dict):
+        pass
+
+    OrderedNamespace.__module__ = "avssl.base.ordered_namespace"
+    OrderedNamespace.__qualname__ = "OrderedNamespace"
+    AttributeDict.__module__ = "pytorch_lightning.utilities.parsing"
+    AttributeDict.__qualname__ = "AttributeDict"
+
+    mods = {n: types.ModuleType(n) for n in fake_names}
+    mods["avssl.base.ordered_namespace"].OrderedNamespace = OrderedNamespace
+    mods["pytorch_lightning.utilities.parsing"].AttributeDict = AttributeDict
+    sys.modules.update(mods)
+    try:
+        config = tiny_speechclip_config(tmp_path)
+        ckpt, _ = build_reference_ckpt(config)
+        ckpt["hyper_parameters"] = AttributeDict(
+            config=OrderedNamespace(config.to_dict())
+        )
+        path = tmp_path / "released_style.ckpt"
+        torch.save(ckpt, str(path))
+    finally:
+        for n in fake_names:
+            sys.modules.pop(n, None)
+
+    params, state, out_config = load_reference_checkpoint(str(path))
+    assert "audio_encoder" in params and "clip" in params
+    # deep nested values must survive (the old __dict__ extraction lost
+    # EVERYTHING below the top level)
+    want = config.get_path("model_settings.cascaded_branch.transformer_type")
+    assert (
+        out_config.get_path("model_settings.cascaded_branch.transformer_type")
+        == want
+    )
+    assert out_config.get_path(
+        "model_settings.cascaded_branch.keyword.number"
+    ) == config.get_path("model_settings.cascaded_branch.keyword.number")
+
+
 def test_released_ckpt_stat_path_remaps_to_vendored(reference_checkpoint):
     """A released checkpoint's pickled config points at the REFERENCE
     repo's stat-table path; conversion must remap it to the vendored copy
