@@ -149,7 +149,11 @@ def _rebuild(d: dict) -> ConfigNode:
 
 def _wrap(value: Any) -> Any:
     if isinstance(value, ConfigNode):
-        return value
+        # assignment takes a SNAPSHOT: storing the node by reference made
+        # ConfigNode(base) share nested subtrees with base, so a later
+        # in-place merge_ into the copy silently rewrote base's
+        # hyperparameters (and vice versa)
+        return copy.deepcopy(value)
     if isinstance(value, Mapping):
         node = ConfigNode()
         for k, v in value.items():

@@ -115,15 +115,12 @@ class BucketedLoader:
         }
 
     def __len__(self) -> int:
+        # read sizes off the precomputed membership directly: the
+        # _bucket_indices copy exists only for __iter__'s in-place shuffle
+        sizes = (self._bucket_members[int(b)].size for b in self.buckets)
         if self.drop_last:
-            n = 0
-            for b in self.buckets:
-                n += self._bucket_indices(b).size // self.batch_size
-            return n
-        return sum(
-            -(-self._bucket_indices(b).size // self.batch_size)
-            for b in self.buckets
-        )
+            return sum(s // self.batch_size for s in sizes)
+        return sum(-(-s // self.batch_size) for s in sizes)
 
     def _bucket_indices(self, bucket: int) -> np.ndarray:
         # copy: __iter__ shuffles the returned array in place

@@ -77,7 +77,6 @@ def _chain_kernel(
     kernels: Tuple[int, ...],
     out_block: int,
     win: int,
-    channels: int,
 ):
     """refs = [w_1..w_n (VMEM), out_ref (VMEM block), scratch, sem]."""
     n = len(kernels)
@@ -177,7 +176,6 @@ def fused_conv_chain(
         kernels=kernels,
         out_block=out_block,
         win=win,
-        channels=c,
     )
     flops = 0
     tt = t

@@ -220,19 +220,3 @@ def _bwd(causal, residuals, g):
 
 
 flash_attention.defvjp(_fwd, _bwd)
-
-
-# ---------------------------------------------------------------------------
-# integration with ops.attention
-# ---------------------------------------------------------------------------
-def flash_attention_supported(q, k, v, bias) -> bool:
-    """The generic-bias path can't use the kernel; ops.attention calls the
-    kernel directly through flash_mha when masks are structured."""
-    if jax.devices()[0].platform != "tpu":
-        return False
-    return bias is None
-
-
-def flash_mha(q, k, v, bias):
-    assert bias is None
-    return flash_attention(q, k, v, None, False)

@@ -356,8 +356,9 @@ def multi_head_attention(
         return linear(params["out_proj"], out), None
 
     if key_padding_mask is None and key_valid_lens is not None:
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, key.shape[1]), 1)
-        key_padding_mask = pos >= key_valid_lens.astype(jnp.int32)[:, None]
+        from .masking import key_padding_mask as _kpm
+
+        key_padding_mask = _kpm(key_valid_lens, key.shape[1])
     if causal and attn_mask is None:
         attn_mask = causal_bias(key.shape[1])[: query.shape[1]]
     bias = padding_bias(key_padding_mask, attn_mask)

@@ -1054,6 +1054,11 @@ def make_http_server(service: EncoderService, host: str = "0.0.0.0", port: int =
                     "reachable over HTTP)"
                 )
             base = os.path.dirname(os.path.abspath(default)) or "."
+            # a relative ?path= means "inside the gallery directory" — NOT
+            # relative to whatever CWD the server happened to launch from
+            # (the natural ?path=backup.npz usage depended on the CWD before)
+            if not os.path.isabs(requested):
+                requested = os.path.join(base, requested)
             target = os.path.abspath(requested)
             if os.path.dirname(target) != base:
                 raise ValueError(

@@ -90,3 +90,19 @@ def test_bench_variant_config_switch():
 
     with pytest.raises(ValueError, match="unknown bench variant"):
         bench_variant_config("huge_par")
+
+
+def test_copy_construction_does_not_alias_subtrees():
+    """ConfigNode(base) / assignment must SNAPSHOT nested nodes: the old
+    by-reference _wrap made the copy share base's subtrees, so merging into
+    the copy silently rewrote base's hyperparameters."""
+    base = ConfigNode({"trainer": {"max_steps": 100}, "seed": 1})
+    derived = ConfigNode(base)
+    derived.merge_({"trainer": {"max_steps": 5}})
+    assert derived.trainer.max_steps == 5
+    assert base.trainer.max_steps == 100  # base untouched
+
+    other = ConfigNode({})
+    other["trainer"] = base.trainer
+    other.trainer.max_steps = 7
+    assert base.trainer.max_steps == 100

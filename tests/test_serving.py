@@ -671,6 +671,12 @@ class TestGalleryLifecycle:
             conn.request("POST", f"/gallery/load?path={path}")
             resp = json.loads(conn.getresponse().read())
             assert resp == {"loaded": 1, "path": path}
+            # a RELATIVE ?path= resolves inside the gallery directory —
+            # not against whatever CWD the server was launched from
+            conn.request("POST", "/gallery/save?path=rel_gallery.npz")
+            resp = json.loads(conn.getresponse().read())
+            assert resp["path"] == str(tmp_path / "rel_gallery.npz")
+            assert (tmp_path / "rel_gallery.npz").exists()
             conn.request("GET", "/healthz")
             health = json.loads(conn.getresponse().read())
             assert health["gallery_size"] == 1
