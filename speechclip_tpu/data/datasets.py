@@ -177,6 +177,9 @@ class FlickrDataset(PairedDataset):
                 image_name = line.split(".")[0]
                 image_path = os.path.join(dataset_root, "Images", line)
                 if image_name not in wav_names:
+                    # reference-faithful: the wav filter applies to EVERY
+                    # modality combination, including image-only
+                    # (flickr_dataset.py:129 wraps both branches)
                     continue
                 if "audio" in modalities or "text" in modalities:
                     for p in sorted(wav_names_to_paths[image_name]):
@@ -219,7 +222,12 @@ class FlickrDataset(PairedDataset):
                     line = line.strip()
                     if not line:
                         continue
-                    img_name, caption = re.split("#[0-9]", line)
+                    # maxsplit=1: the '#<digit>' index tag is always the
+                    # FIRST such sequence; a caption containing e.g. '#1'
+                    # must not crash the parse (deliberate robustness
+                    # improvement — the reference asserts the split yields
+                    # exactly 2 parts, flickr_dataset.py:103-105)
+                    img_name, caption = re.split("#[0-9]", line, maxsplit=1)
                     img_name = img_name.replace(".jpg", "")
                     caption = caption.strip().rstrip(".").strip()
                     captions[img_name].append(caption)

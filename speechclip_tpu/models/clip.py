@@ -150,8 +150,6 @@ NAMED_CONFIGS = {
     "ViT-L/14": CLIP_VIT_L14,
 }
 
-IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
-IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
 # ---------------------------------------------------------------------------
@@ -599,9 +597,15 @@ class ReducedVocab:
         return len(self.selected_ids)
 
     def map_original(self, ids: np.ndarray) -> np.ndarray:
-        """Vectorized original->reduced id mapping (host side)."""
-        lut = np.full(int(self.selected_ids.max()) + 1, -1, np.int64)
-        lut[self.selected_ids] = np.arange(len(self.selected_ids))
+        """Vectorized original->reduced id mapping (host side). The LUT is
+        built once and cached — this sits on the serving text-request path
+        (clip_api tokenization), where rebuilding a ~49k-slot table per
+        call was pure repeated work."""
+        lut = getattr(self, "_lut", None)
+        if lut is None:
+            lut = np.full(int(self.selected_ids.max()) + 1, -1, np.int64)
+            lut[self.selected_ids] = np.arange(len(self.selected_ids))
+            object.__setattr__(self, "_lut", lut)
         mapped = lut[ids]
         if (mapped < 0).any():
             raise KeyError("token id outside the reduced vocabulary")

@@ -207,6 +207,21 @@ class SpeechCLIPModel:
         self.audio_embd_dim = self.audio_cfg.encoder_embed_dim
         self.subword_embd_dim = self.clip_cfg.text.width
         self.compute_dtype = _compute_dtype(cfg)
+        _reinit = list(cfg.audio_encoder.get("reinit_layers", []) or [])
+        _unfreeze = list(cfg.audio_encoder.get("unfreeze_layers", []) or [])
+        if (_reinit or _unfreeze) and not cfg.audio_encoder.get(
+            "trainable", False
+        ):
+            # the reference crashes on this (`assert self.trainable`,
+            # speech_encoder_plus.py:172/186); silently proceeding would
+            # train the whole run against frozen re-randomized layers
+            # (reinit) or freeze everything anyway (unfreeze)
+            raise ValueError(
+                "audio_encoder.reinit_layers/unfreeze_layers require "
+                "audio_encoder.trainable: true — otherwise the selected "
+                "layers would stay frozen (reinit would leave frozen RANDOM "
+                "layers in the encoder)"
+            )
         if isinstance(
             self.clip_cfg.vision, clip_mod.CLIPResNetVisionConfig
         ) and cfg.clip.get("image_encoder_trainable", False):
@@ -837,8 +852,20 @@ class SpeechCLIPModel:
         )
         emb_table = params["clip"]["text"]["token_embedding"]
         scores = branches.cosine_scores(keywords, emb_table)
-        # suppress special tokens (reference :975-977 subtracts 100)
-        for tok in (0, 2, 3):
+        # suppress special tokens. The reference hardcodes rows {0, 2, 3}
+        # (kwClip.py:975-977) — correct ONLY for the shipped byfreq table
+        # layout where those rows are original ids {0 ('!'), SOT, EOT};
+        # with a byID table or the full vocab the same rows are ordinary
+        # tokens while SOT/EOT rank freely. Suppress by IDENTITY instead:
+        # identical behavior on the shipped tables, correct elsewhere.
+        suppress = {self.sot_id, self.eot_id}
+        if self.reduced_vocab is not None:
+            row0 = self.reduced_vocab.original_to_reduced.get(0)
+            if row0 is not None:
+                suppress.add(row0)
+        else:
+            suppress.add(0)
+        for tok in sorted(suppress):
             scores = scores.at[..., tok].add(-100.0)
         _, top_ids = jax.lax.top_k(scores, top_k)
 
@@ -910,6 +937,15 @@ class SpeechCLIPModel:
                             sub["encoder"]["layer_norm"], True
                         )
                     mask[key] = m
+                elif selected:
+                    # selected && not trainable: same guard as __init__
+                    # (reference `assert self.trainable`,
+                    # speech_encoder_plus.py:172/186), repeated here for
+                    # configs mutated after construction
+                    raise ValueError(
+                        "audio_encoder.reinit_layers/unfreeze_layers "
+                        "require audio_encoder.trainable: true"
+                    )
                 else:
                     mask[key] = mask_subtree(sub, trainable)
             elif key == "clip":

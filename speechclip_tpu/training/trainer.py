@@ -375,6 +375,8 @@ class Trainer:
         step = int(jax.device_get(state.step))
         epoch = 0
         t_last = time.perf_counter()
+        steps_at_last_log = step
+        profiling = False
         while step < max_steps:
             steps_at_epoch_start = step
 
@@ -389,21 +391,30 @@ class Trainer:
             for sharded in device_prefetch(_whole_batches(), self.mesh):
                 if profile_steps and step == int(profile_steps[0]):
                     jax.profiler.start_trace(profile_dir)
+                    profiling = True
                 state, metrics = self._train_step(state, sharded)
                 step += 1
-                if profile_steps and step == int(profile_steps[1]):
+                if profiling and step >= int(profile_steps[1]):
                     # a host fetch is the only reliable sync on the axon
                     # platform (block_until_ready returns early there) —
                     # without it stop_trace() truncates the device trace
                     float(jax.device_get(metrics["train_loss"]))
                     jax.profiler.stop_trace()
+                    profiling = False
                     logger.info("profiler trace written to %s", profile_dir)
                 if step % log_every == 0:
                     host_metrics = {
                         k: float(jax.device_get(v)) for k, v in metrics.items()
                     }
                     now = time.perf_counter()
-                    host_metrics["steps_per_sec"] = log_every / (now - t_last)
+                    # numerator = steps ACTUALLY elapsed since t_last (not a
+                    # fixed log_every: the post-validation reset can land
+                    # mid-interval, and epoch lengths need not be multiples
+                    # of log_every)
+                    host_metrics["steps_per_sec"] = (
+                        step - steps_at_last_log
+                    ) / (now - t_last)
+                    steps_at_last_log = step
                     # the lr APPLIED by the latest update: optax consumes
                     # schedule(count) with count = number of prior emits,
                     # advancing once per optimizer emit (optax.MultiSteps),
@@ -434,11 +445,24 @@ class Trainer:
                     jax.device_get(state), step, val_metrics, self.config
                 )
                 # steps_per_sec measures the TRAIN loop: without this reset
-                # the first log of the next epoch divides log_every steps by
-                # an interval that swallowed the whole validation +
-                # checkpoint write (minutes on the axon relay), logging a
-                # spurious throughput dip every epoch
+                # the first log of the next epoch divides by an interval
+                # that swallowed the whole validation + checkpoint write
+                # (minutes on the axon relay). Steps run since the last log
+                # point get no throughput sample (their wall time is mixed
+                # with the validation's), hence both trackers reset.
                 t_last = time.perf_counter()
+                steps_at_last_log = step
+        if profiling:
+            # the window's end step was never reached (max_steps or the
+            # data ran out first) — stop anyway, else the trace is LOST
+            # (jax.profiler only flushes on stop_trace)
+            float(jax.device_get(state.step))  # axon-safe sync
+            jax.profiler.stop_trace()
+            logger.warning(
+                "profiler window end %s was never reached; trace stopped at "
+                "step %d and written to %s",
+                profile_steps[1], step, profile_dir,
+            )
         self.ckpt.wait()
         return state
 
@@ -536,11 +560,20 @@ class Trainer:
             if "keywords" in out:
                 rec["keywords"] = out["keywords"][:n_valid]
                 if "text" in batch and self.tokenizer is not None:
+                    # rows are [SOT, tokens..., EOT, 0 pad...]: trim at the
+                    # EOT position — id 0 is a REAL token ('!') in the full
+                    # vocab, so a `t > 0` filter corrupted gold text (and
+                    # leaked the literal SOT/EOT strings into it)
+                    sot, eot = self.tokenizer.sot_id, self.tokenizer.eot_id
+
+                    def _gold_text(row):
+                        toks = [int(t) for t in row]
+                        end = toks.index(eot) if eot in toks else len(toks)
+                        start = 1 if toks and toks[0] == sot else 0
+                        return self.tokenizer.decode(toks[start:end])
+
                     rec["gold_text"] = [
-                        self.tokenizer.decode(
-                            [t for t in row if t > 0]
-                        )
-                        for row in batch["text"][:n_valid]
+                        _gold_text(row) for row in batch["text"][:n_valid]
                     ]
             outputs.append(rec)
             if n_valid == batch_size:

@@ -191,6 +191,26 @@ class TestLoader:
             ]
             assert loader._bucket_indices(b).tolist() == expect
 
+    def test_caption_containing_hash_digit_parses(self, tmp_path):
+        """'man holds a #1 foam finger' must not crash the token-file parse
+        (the index tag is the FIRST '#<digit>'; the reference asserts the
+        split yields exactly two parts and dies, flickr_dataset.py:103-105
+        — deliberate robustness improvement)."""
+        from speechclip_tpu.data.datasets import FlickrDataset
+
+        root = tmp_path / "flickr"
+        (root / "flickr_audio" / "wavs").mkdir(parents=True)
+        (root / "Images").mkdir()
+        write_jpg(root / "Images" / "img0.jpg", seed=0)
+        write_wav(root / "flickr_audio" / "wavs" / "img0_0.wav", 2000, seed=0)
+        (root / "Flickr8k.token.txt").write_text(
+            "img0.jpg#0\tman holds a #1 foam finger ."
+        )
+        (root / "Flickr_8k.trainImages.txt").write_text("img0.jpg")
+        ds = FlickrDataset(str(root), ["audio", "text"], split="train")
+        assert len(ds) == 1
+        assert ds.data[0]["text"] == "man holds a #1 foam finger"
+
     def test_make_buckets_multiples(self):
         lengths = np.random.default_rng(0).integers(1000, 100000, 500)
         buckets = make_buckets(lengths, max_len=102400)

@@ -559,6 +559,26 @@ class TestSpeechCLIPModel:
         leaves = jax.tree.leaves(mask["cascaded_branch"])
         assert all(leaves)
 
+    def test_layer_selection_requires_trainable(self, model, tmp_path):
+        """reinit/unfreeze_layers without audio_encoder.trainable must fail
+        loudly (reference `assert self.trainable`,
+        speech_encoder_plus.py:172/186) — silently proceeding would leave
+        frozen RE-RANDOMIZED layers in the encoder for the whole run."""
+        from speechclip_tpu.models.speechclip import SpeechCLIPModel
+
+        cfg = tiny_speechclip_config(tmp_path)
+        cfg.audio_encoder.reinit_layers = [1]
+        with pytest.raises(ValueError, match="trainable"):
+            SpeechCLIPModel(cfg)
+        # post-construction mutation hits the trainable_mask guard
+        params, _ = model.init(jax.random.key(0))
+        model.config.audio_encoder.unfreeze_layers = [1]
+        try:
+            with pytest.raises(ValueError, match="trainable"):
+                model.trainable_mask(params)
+        finally:
+            model.config.audio_encoder.unfreeze_layers = []
+
     def test_encode_speech_and_hidden_states(self, model):
         params, state = model.init(jax.random.key(0))
         batch = self.make_batch(2)
@@ -596,9 +616,16 @@ class TestSpeechCLIPModel:
         for w, fl in zip(cls_w, feat_lens):
             assert w.shape == (1, 4, fl + 4)
         assert len(topk) == 2 and len(topk[0]) == 4 and len(topk[0][0]) == 5
-        # specials (reduced ids of 0,2,3) suppressed
-        flat = {i for kw in topk[0] for i in kw}
-        assert not flat & {0, 2, 3}
+        # specials suppressed BY IDENTITY: the tiny table is byID-style
+        # (SOT=62/EOT=63 live in rows 40/41, not 2/3), so the actual
+        # SOT/EOT and original id 0 must never rank — while ordinary
+        # tokens 2/3 are allowed to (the reference's hardcoded rows
+        # {0,2,3}, kwClip.py:975-977, is correct only for byfreq layouts;
+        # topk returns ORIGINAL ids)
+        flat = {i for kw in topk[0] for i in kw} | {
+            i for kw in topk[1] for i in kw
+        }
+        assert not flat & {0, 62, 63}
 
 
 class TestLossVariantsAndFinetune:
