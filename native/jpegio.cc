@@ -12,6 +12,7 @@
 //   jpegio_decode_batch(paths, n, out_size, out /*n*size*size*3 u8*/, threads)
 //     -> 0 on success, else 1-based index of the first failed file.
 
+#include <cstdint>
 #include <cstddef>
 #include <cstdio>
 

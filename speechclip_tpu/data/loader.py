@@ -184,12 +184,25 @@ class BucketedLoader:
                     [rng.integers(0, r) if r > 0 else 0 for r in room],
                     np.int64,
                 )
-            wav, wav_len = native_mod.decode_wav_batch(
-                [e["wav"] for e in entries],
-                max_len=bucket_len,
-                target_sr=self.dataset.target_sr,
-                offsets=offsets,
-            )
+            try:
+                wav, wav_len = native_mod.decode_wav_batch(
+                    [e["wav"] for e in entries],
+                    max_len=bucket_len,
+                    target_sr=self.dataset.target_sr,
+                    offsets=offsets,
+                )
+            except RuntimeError as e:
+                # one exotic/malformed WAV in the batch (IEEE-float,
+                # 24-bit, WAVE_FORMAT_EXTENSIBLE): the documented contract
+                # is python fallback (native/wavio.cc:21-22) — wav_length()
+                # already falls back at dataset construction; do the same
+                # here per batch instead of crashing mid-epoch
+                logger.warning(
+                    "native wav decode failed (%s); python fallback for "
+                    "this batch", e
+                )
+                use_native = False
+        if use_native:
             if self.max_audio_len > 0:
                 clip = np.minimum(wav_len, self.max_audio_len)
                 mask = (

@@ -63,8 +63,13 @@ def load_library() -> Optional[ctypes.CDLL]:
             ]
         _LIB = lib
         logger.info("native wavio loaded from %s", path)
-    except OSError as e:  # pragma: no cover
+    except (OSError, AttributeError) as e:  # pragma: no cover
+        # OSError: unloadable .so; AttributeError: a loadable ELF that
+        # lacks the wavio symbols (stale build / wrong SPEECHCLIP_WAVIO_PATH)
+        # — both must degrade to the python reader, not crash dataset
+        # construction through available()
         logger.warning("could not load native wavio (%s)", e)
+        _LIB = None
     return _LIB
 
 
@@ -89,10 +94,14 @@ def decode_wav_batch(
     if out is None:
         out = np.zeros((n, max_len), np.float32)
     assert out.shape == (n, max_len) and out.dtype == np.float32
+    # .ctypes hands the C side a bare base pointer that it fills assuming
+    # dense row-major — a strided view would be silently corrupted
+    assert out.flags["C_CONTIGUOUS"], "out must be C-contiguous"
     lens = np.zeros((n,), np.int32)
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     if offsets is not None:
         offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        assert offsets.shape == (n,), "offsets must have one entry per path"
         c_offsets = offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long))
     else:
         c_offsets = None

@@ -218,6 +218,53 @@ class TestLoader:
         assert max(lengths.clip(max=102400)) <= max(buckets)
 
 
+class TestNativeFallbacks:
+    """The documented contract for BOTH native decode paths is 'fall back
+    to the python reader' (native/wavio.cc:21-22; loader jpeg branch) — a
+    mid-epoch RuntimeError from either must degrade, not crash."""
+
+    def test_wav_decode_failure_falls_back_to_python(
+        self, flickr_root, monkeypatch
+    ):
+        from speechclip_tpu.data import native as native_mod
+
+        ds = FlickrDataset(str(flickr_root), ["audio"], split="train")
+        loader = BucketedLoader(ds, batch_size=4, train=False, num_workers=2)
+        reference = [b["wav"].copy() for b in loader]
+
+        def boom(*a, **k):
+            raise RuntimeError("native wav decode failed for file 1")
+
+        monkeypatch.setattr(native_mod, "decode_wav_batch", boom)
+        fallback = [b["wav"].copy() for b in loader]
+        assert len(fallback) == len(reference) > 0
+        for a, b in zip(reference, fallback):
+            np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_jpeg_decode_failure_falls_back_to_pil(
+        self, flickr_root, monkeypatch
+    ):
+        from speechclip_tpu.data import native as native_mod
+        from speechclip_tpu.data import FlickrDataset as FD
+
+        ds = FD(
+            str(flickr_root), ["audio", "image"], split="train",
+            image_size=32, image_mode="raw",
+        )
+        loader = BucketedLoader(ds, batch_size=4, train=False, num_workers=2)
+
+        def boom(*a, **k):
+            raise RuntimeError("Unsupported JPEG (CMYK)")
+
+        monkeypatch.setattr(native_mod, "has_jpeg", lambda: True)
+        monkeypatch.setattr(native_mod, "decode_jpeg_batch", boom)
+        batch = next(iter(loader))
+        # PIL fallback must still deliver real uint8 images for every row
+        assert batch["image"].dtype == np.uint8
+        assert batch["image"].shape[0] == 4
+        assert batch["image"].any(axis=(1, 2, 3)).all()
+
+
 class TestOnDeviceImagePath:
     def test_raw_mode_end_to_end(self, flickr_root):
         """data.dataset.on_device_preprocess: uint8 batches flow through the
